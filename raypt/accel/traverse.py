@@ -1,0 +1,248 @@
+"""Closest-hit queries: stackless skip-link BVH traversal and the
+brute-force fallback, plus the differentiable hit recompute.
+
+Reference hot path being replaced: BVHRayHit's 64-entry per-thread
+stack walk + per-sphere brute loop (main_raytracing.cu:33-109).
+
+TPU-native structure (SURVEY §7):
+  * the *finder* returns only discrete results (closest triangle id /
+    sphere id / distance) and runs under stop_gradient — data-dependent
+    while-loops never see tangents;
+  * `recompute_hit` re-evaluates the intersection analytically for the
+    chosen primitive in plain jnp, so position / normal / distance are
+    differentiable w.r.t. vertices, sphere params, and ray origin/dir.
+    This is the standard detach-topology trick for differentiable ray
+    tracing and keeps autodiff away from the traversal loop.
+
+Tie-breaking parity: the reference intersects spheres first and lets a
+triangle win only when strictly closer (BVHRayHit is seeded with the
+sphere distance and requires `distance < result.distance`,
+main_raytracing.cu:62,105); we reproduce that.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.math3d import (BIG, dot, dot_keep, intersect_aabb, normalize,
+                           intersect_sphere, intersect_triangle)
+from ..core.types import Scene
+from .lbvh import LBVH
+
+
+@struct.dataclass
+class HitIds:
+    """Discrete (non-differentiable) closest-hit result."""
+    t: jax.Array          # (...,) f32 closest distance (BIG = miss)
+    tri: jax.Array        # (...,) i32 face id, -1 if not a triangle hit
+    sphere: jax.Array     # (...,) i32 sphere id, -1 if not a sphere hit
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.t < BIG
+
+
+@struct.dataclass
+class Hit:
+    """Differentiable hit attributes (HitData analogue,
+    main_raytracing.cu:23-31)."""
+    valid: jax.Array      # (...,) bool
+    t: jax.Array          # (...,) f32
+    position: jax.Array   # (..., 3)
+    normal: jax.Array     # (..., 3) shading normal, faces the ray for tris
+    uv: jax.Array         # (..., 2)
+    mat_id: jax.Array     # (...,) i32
+
+
+# ---------------------------------------------------------------------------
+# Brute-force finder (reference sphere loop main_raytracing.cu:89-103; used
+# for small scenes and as the correctness oracle for the BVH path)
+# ---------------------------------------------------------------------------
+
+def _closest_sphere(scene: Scene, ro, rd):
+    sp = scene.spheres
+
+    def one_ray(o, d):
+        hit, t = intersect_sphere(o[None, :], d[None, :], sp.center, sp.radius)
+        t = jnp.where(hit & sp.valid, t, BIG)
+        i = jnp.argmin(t)
+        return t[i], jnp.where(t[i] < BIG, i.astype(jnp.int32), -1)
+
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    t, i = jax.vmap(one_ray)(flat_o, flat_d)
+    return t.reshape(ro.shape[:-1]), i.reshape(ro.shape[:-1])
+
+
+def _closest_triangle_brute(scene: Scene, ro, rd):
+    m = scene.mesh
+    p0 = m.positions[m.faces[:, 0]]
+    p1 = m.positions[m.faces[:, 1]]
+    p2 = m.positions[m.faces[:, 2]]
+
+    def one_ray(o, d):
+        hit, t, _, _ = intersect_triangle(o[None, :], d[None, :], p0, p1, p2)
+        t = jnp.where(hit & m.face_valid, t, BIG)
+        i = jnp.argmin(t)
+        return t[i], jnp.where(t[i] < BIG, i.astype(jnp.int32), -1)
+
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    t, i = jax.vmap(one_ray)(flat_o, flat_d)
+    return t.reshape(ro.shape[:-1]), i.reshape(ro.shape[:-1])
+
+
+def find_closest_bruteforce(scene: Scene, ro, rd) -> HitIds:
+    """rd must be normalized. Batched over leading dims."""
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    tt, ti = _closest_triangle_brute(scene, ro, rd)
+    tri_wins = tt < ts  # strict: sphere keeps ties (reference parity)
+    return HitIds(
+        t=jnp.minimum(ts, tt),
+        tri=jnp.where(tri_wins, ti, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BVH finder: stackless skip-link walk, tiled over rays
+# ---------------------------------------------------------------------------
+
+def _traverse_one(bvh: LBVH, p0, p1, p2, face_valid, o, d, t0):
+    """Single-ray skip-link traversal. p0/p1/p2 are pre-gathered leaf
+    triangle vertices in *leaf order* (index by leaf id directly)."""
+    n_leaf = bvh.num_leaves
+    leaf_base = n_leaf - 1
+    # NaN-free reciprocal: clamp tiny components away from zero so the
+    # slab test never produces 0 * inf (reference divides directly,
+    # Math.h:52-55, relying on IEEE inf semantics).
+    safe_d = jnp.where(jnp.abs(d) > 1e-12,
+                       d, jnp.where(d >= 0, 1e-12, -1e-12))
+    inv_d = 1.0 / safe_d
+
+    def cond(state):
+        node, _, _ = state
+        return node >= 0
+
+    def body(state):
+        node, t_best, best_leaf = state
+        hit_box = intersect_aabb(o, inv_d, bvh.bmin[node], bvh.bmax[node],
+                                 t_best)
+        is_leaf = node >= leaf_base
+        leaf = jnp.clip(node - leaf_base, 0, n_leaf - 1)
+        h, t, _, _ = intersect_triangle(o, d, p0[leaf], p1[leaf], p2[leaf])
+        take = is_leaf & hit_box & h & face_valid[leaf] & (t < t_best)
+        t_best = jnp.where(take, t, t_best)
+        best_leaf = jnp.where(take, leaf, best_leaf)
+        nxt = jnp.where(hit_box & ~is_leaf, bvh.left[node], bvh.skip[node])
+        return nxt, t_best, best_leaf
+
+    # init derived from the ray so its sharding "varying" type matches
+    # under shard_map (fresh literals would be replicated-typed)
+    zero_i = (d[0] * 0.0).astype(jnp.int32)
+    _, t_best, best_leaf = jax.lax.while_loop(
+        cond, body, (zero_i, t0 + d[0] * 0.0, zero_i - 1))
+    return t_best, best_leaf
+
+
+def find_closest_bvh(scene: Scene, bvh: LBVH, ro, rd,
+                     tile: int = 4096) -> HitIds:
+    """rd must be normalized. Rays are processed in tiles of `tile` so
+    each tile's traversal loop terminates independently (the pure-XLA
+    analogue of the Pallas tile-wavefront kernel; a vmap'd while_loop
+    runs to the max trip count of its batch, so smaller batches bound
+    the divergence cost)."""
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    m = scene.mesh
+    lf = bvh.leaf_face
+    p0 = m.positions[m.faces[lf, 0]]
+    p1 = m.positions[m.faces[lf, 1]]
+    p2 = m.positions[m.faces[lf, 2]]
+    fvalid = m.face_valid[lf]
+
+    ts, si = _closest_sphere(scene, ro, rd)
+
+    shape = ro.shape[:-1]
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    flat_ts = ts.reshape(-1)
+    n = flat_o.shape[0]
+    pad = (-n) % tile
+    if pad:
+        flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3), flat_o.dtype)])
+        flat_d = jnp.concatenate(
+            [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
+        flat_ts = jnp.concatenate([flat_ts, jnp.full((pad,), BIG)])
+
+    trav = jax.vmap(partial(_traverse_one, bvh, p0, p1, p2, fvalid))
+    o_t = flat_o.reshape(-1, tile, 3)
+    d_t = flat_d.reshape(-1, tile, 3)
+    s_t = flat_ts.reshape(-1, tile)
+    t_best, best_leaf = jax.lax.map(lambda a: trav(*a), (o_t, d_t, s_t))
+    t_best = t_best.reshape(-1)[:n].reshape(shape)
+    best_leaf = best_leaf.reshape(-1)[:n].reshape(shape)
+
+    tri = jnp.where(best_leaf >= 0, lf[jnp.clip(best_leaf, 0, None)], -1)
+    tri_wins = best_leaf >= 0  # traversal seeded with sphere t => strict win
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, tri, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable hit recompute
+# ---------------------------------------------------------------------------
+
+def recompute_hit(scene: Scene, ro, rd, ids: HitIds) -> Hit:
+    """Re-evaluate the chosen primitive's intersection differentiably.
+
+    Triangle shading normal: correctly barycentric-interpolated
+    ((1-u-v)*n0 + u*n1 + v*n2) then flipped to face the ray
+    (main_raytracing.cu:63-69). NOTE the reference permutes the
+    barycentric weights when interpolating normals (it pairs glm's
+    (v1, v2) weights with (v0, v1) normals) — a quirk SURVEY §7 lists
+    under bugs not to reproduce; we interpolate correctly.
+    Sphere normal: (p - center) / radius, no backface flip
+    (main_raytracing.cu:99 parity).
+    """
+    m = scene.mesh
+    sp = scene.spheres
+
+    is_tri = ids.tri >= 0
+    is_sph = ids.sphere >= 0
+
+    fi = jnp.clip(ids.tri, 0, None)
+    f = m.faces[fi]
+    v0, v1, v2 = m.positions[f[..., 0]], m.positions[f[..., 1]], m.positions[f[..., 2]]
+    n0, n1, n2 = m.normals[f[..., 0]], m.normals[f[..., 1]], m.normals[f[..., 2]]
+    t0, t1, t2 = m.uvs[f[..., 0]], m.uvs[f[..., 1]], m.uvs[f[..., 2]]
+    _, tt, u, v = intersect_triangle(ro, rd, v0, v1, v2)
+    w = 1.0 - u - v
+    tri_n = normalize(w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
+    backface = dot(rd, tri_n) >= 0.0
+    tri_n = jnp.where(backface[..., None], -tri_n, tri_n)
+    tri_uv = w[..., None] * t0 + u[..., None] * t1 + v[..., None] * t2
+    tri_mat = m.face_material[fi]
+
+    si = jnp.clip(ids.sphere, 0, None)
+    c = sp.center[si]
+    r = sp.radius[si]
+    _, st = intersect_sphere(ro, rd, c, r)
+    sph_mat = sp.material[si]
+
+    t = jnp.where(is_tri, tt, jnp.where(is_sph, st, BIG))
+    pos = ro + rd * t[..., None]
+    sph_n = (pos - c) / jnp.maximum(r, 1e-12)[..., None]
+    normal = jnp.where(is_tri[..., None], tri_n,
+                       jnp.where(is_sph[..., None], sph_n, 0.0))
+    uv = jnp.where(is_tri[..., None], tri_uv, 0.0)
+    mat = jnp.where(is_tri, tri_mat, jnp.where(is_sph, sph_mat, 0))
+    valid = is_tri | is_sph
+    return Hit(valid=valid, t=t, position=pos, normal=normal, uv=uv,
+               mat_id=mat.astype(jnp.int32))

@@ -1,0 +1,212 @@
+"""Vector math foundation for the TPU path tracer.
+
+TPU-native replacement for the reference's glm-based device math
+(reference: RayTracing/Math.h:10-71, glm intersect helpers used at
+RayTracing/main_raytracing.cu:60,94). Everything here is pure jnp over
+arrays whose *last* axis is the vector axis, so every function vmaps /
+batches trivially and fuses under jit.
+
+Conventions:
+  - vectors are float32 arrays shaped (..., 3)
+  - ray directions passed to intersection helpers must be normalized
+    (the reference normalizes once per ray, main_raytracing.cu:39,86)
+  - "no hit" is encoded as distance == BIG (1e30), matching the
+    reference sentinel (main_raytracing.cu:85).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e30  # reference max_distance sentinel, main_raytracing.cu:85
+EPS = 1e-8
+
+
+def dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched dot product over the last axis, keepdims dropped."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def dot_keep(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def cross(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.cross(a, b)
+
+
+def length(v: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
+
+
+def normalize(v: jax.Array) -> jax.Array:
+    """Safe normalize: returns v * rsqrt(|v|^2), guarding the zero vector."""
+    sq = dot_keep(v, v)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, EPS * EPS))
+
+
+def reflect(d: jax.Array, n: jax.Array) -> jax.Array:
+    """glm::reflect semantics: d - 2*dot(d,n)*n (main_raytracing.cu:130)."""
+    return d - 2.0 * dot_keep(d, n) * n
+
+
+def lerp(a, b, t):
+    """glm::lerp / mix semantics."""
+    return a + (b - a) * t
+
+
+# ---------------------------------------------------------------------------
+# Intersections
+# ---------------------------------------------------------------------------
+
+def intersect_sphere(ro, rd, center, radius):
+    """Ray/sphere intersection, glm::intersectRaySphere semantics
+    (used at main_raytracing.cu:94 with radius^2 passed in).
+
+    Returns (hit, t): nearest positive root; glm returns false when the
+    nearest root is <= 0 (inside/behind cases return the far root only
+    if... glm rejects when distance < 0 entirely after picking the
+    smaller root; we mirror that: t = (-b - sqrt(disc)), hit iff
+    disc > 0 and t > 0).
+
+    Batched over leading dims of every operand.
+    """
+    oc = ro - center
+    b = dot(oc, rd)                       # rd normalized => a == 1
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - c
+    # safe-where: sqrt'(0) = inf would leak NaN through the miss branch
+    # of jnp.where under reverse-mode AD, so clamp the unselected lane.
+    pos_disc = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos_disc, disc, 1.0))
+    t = -b - sq
+    hit = pos_disc & (t > 0.0)
+    return hit, jnp.where(hit, t, BIG)
+
+
+def intersect_triangle(ro, rd, v0, v1, v2):
+    """Moller-Trumbore, glm::intersectRayTriangle semantics
+    (main_raytracing.cu:60): front- AND back-face hits accepted
+    (glm's version accepts both and returns signed barycentrics; the
+    reference then rejects t < 0 at main_raytracing.cu:62).
+
+    Returns (hit, t, u, v) where (u, v) weight v1, v2 and the reference
+    interpolates normals as n0*u + n1*v + n2*(1-u-v)... NB the reference
+    maps bary.x -> v0, bary.y -> v1 (main_raytracing.cu:63-66) because
+    glm returns barycentrics for (v1, v2) in (x, y); we return (u, v)
+    weighting (v1, v2) and the caller mirrors the reference's
+    interpolation n = n0*(1-u-v)... see integrator.
+
+    All inputs broadcast; rd must be normalized for t to be a distance.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = cross(rd, e2)
+    det = dot(e1, pvec)
+    # safe-where: 1/det on degenerate (padded) faces would be inf and
+    # poison reverse-mode through jnp.where; divide by a clamped det.
+    ok_det = jnp.abs(det) > EPS
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+    tvec = ro - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(rd, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    hit = (jnp.abs(det) > EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    return hit, jnp.where(hit, t, BIG), u, v
+
+
+def intersect_aabb(ro, inv_rd, bmin, bmax, tmax):
+    """Slab test, reference Math::IntersectAABB semantics (Math.h:50-61):
+    returns True iff the ray hits the box nearer than the current best
+    hit distance `tmax`.
+
+    Takes the precomputed reciprocal direction (the reference divides
+    per test; we hoist the reciprocal out of the traversal loop).
+
+    Rejects *inverted* (empty) boxes (min > max): the LBVH encodes
+    "no geometry" subtrees (padded faces) as inverted boxes, and a
+    plain slab test would treat those as unbounded intervals and walk
+    the entire empty subtree (the reference never uploads empty nodes
+    so it has no such case).
+    """
+    t1 = (bmin - ro) * inv_rd
+    t2 = (bmax - ro) * inv_rd
+    tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    nonempty = jnp.all(bmin <= bmax, axis=-1)
+    return (tfar >= tnear) & (tnear < tmax) & (tfar > 0.0) & nonempty
+
+
+# ---------------------------------------------------------------------------
+# AABB helpers (reference Math.h:25-43)
+# ---------------------------------------------------------------------------
+
+def aabb_empty():
+    return jnp.full((3,), BIG, jnp.float32), jnp.full((3,), -BIG, jnp.float32)
+
+
+def aabb_union(amin, amax, bmin, bmax):
+    return jnp.minimum(amin, bmin), jnp.maximum(amax, bmax)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (reference Math::ComposeMatrix Math.h:63-70, glm euler quats)
+# ---------------------------------------------------------------------------
+
+def rot_x(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[1, 0, 0], [0, c, -s], [0, s, c]], jnp.float32)
+
+
+def rot_y(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], jnp.float32)
+
+
+def rot_z(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    return jnp.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], jnp.float32)
+
+
+def euler_to_mat(ax, ay, az=0.0):
+    """glm::quat(vec3(ax, ay, az)) rotation matrix: R = Ry * Rx * Rz for
+    az=0 reduces to Ry(yaw) @ Rx(pitch) — the reference camera only uses
+    x/y angles (Scene.cpp:18).
+    """
+    return rot_y(ay) @ rot_x(ax) @ rot_z(az)
+
+
+def compose_matrix(translation, rot3, scale):
+    """TRS compose (Math.h:63-70). rot3 is a 3x3; returns 4x4."""
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(rot3 * scale[None, :])
+    m = m.at[:3, 3].set(translation)
+    return m
+
+
+def transform_points(mat4, pts):
+    """Apply a 4x4 to (..., 3) points (w=1)."""
+    return pts @ mat4[:3, :3].T + mat4[:3, 3]
+
+
+def transform_dirs(mat4, dirs):
+    """Apply a 4x4 to (..., 3) directions (w=0)."""
+    return dirs @ mat4[:3, :3].T
+
+
+# ---------------------------------------------------------------------------
+# Tone mapping (reference HLSL PS, main.cpp:78-93)
+# ---------------------------------------------------------------------------
+
+def aces_film(x):
+    """ACES filmic curve, exact constants from the reference pixel shader
+    (main.cpp:78-86)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def tonemap(hdr, exposure=0.5):
+    """exposure then ACES, matching the reference present path
+    (main.cpp:88-93: `ACESFilm(color.rgb * 0.5)`)."""
+    return aces_film(hdr * exposure)

@@ -1,0 +1,214 @@
+"""Scene pytrees: the TPU-native replacement for the reference's
+pointer-based GPU ABI (reference: RayTracing/GPUScene.h:25-96).
+
+Where the reference ships a struct of raw device pointers + counts into
+the megakernel, we carry plain `jax.Array`s in SoA layout inside frozen
+flax.struct dataclasses. Every type is a pytree, so scenes can be
+jit-arguments, donated, sharded with NamedSharding, and differentiated
+(grads w.r.t. vertices / materials / camera fall out of autodiff).
+
+Fixed shapes + validity masks replace the reference's dynamic counts
+(GPUScene.h:85-86) so that scene edits of the same padded size never
+retrigger XLA compilation — the analogue of the reference's dirty-flag
+re-upload protocol (Scene.h:21-26) is "pad, mask, and swap arrays".
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Materials:
+    """SoA material table (reference GPUMaterial, GPUScene.h:66-74).
+
+    The reference stores vec4 albedo/emissive/specular but the kernel
+    only consumes .rgb (main_raytracing.cu:126-127); we store (M, 3).
+    `ior` is carried for API parity though the reference kernel never
+    reads it (GPUScene.h:73 — documented as unused in SURVEY §2).
+    """
+    albedo: jax.Array            # (M, 3) f32
+    emissive: jax.Array          # (M, 3) f32
+    specular: jax.Array          # (M, 3) f32
+    roughness: jax.Array         # (M,)  f32, default 0.9
+    specular_percent: jax.Array  # (M,)  f32, default 0.0
+    ior: jax.Array               # (M,)  f32, default 1.0 (unused by kernel)
+
+    @staticmethod
+    def empty(capacity: int = 0) -> "Materials":
+        z3 = jnp.zeros((capacity, 3), jnp.float32)
+        z1 = jnp.zeros((capacity,), jnp.float32)
+        return Materials(
+            albedo=jnp.ones((capacity, 3), jnp.float32),
+            emissive=z3, specular=z3,
+            roughness=jnp.full((capacity,), 0.9, jnp.float32),
+            specular_percent=z1,
+            ior=jnp.ones((capacity,), jnp.float32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.albedo.shape[0]
+
+
+@struct.dataclass
+class Spheres:
+    """SoA analytic spheres (reference GeometrySphere, GPUScene.h:59-64).
+
+    Padded slots carry radius 0 and valid=False; the intersector masks
+    them out (the reference instead loops `sphere_count` entries,
+    main_raytracing.cu:89-103).
+    """
+    center: jax.Array    # (S, 3) f32
+    radius: jax.Array    # (S,)  f32
+    material: jax.Array  # (S,)  i32
+    valid: jax.Array     # (S,)  bool
+
+    @staticmethod
+    def empty(capacity: int = 0) -> "Spheres":
+        return Spheres(
+            center=jnp.zeros((capacity, 3), jnp.float32),
+            radius=jnp.zeros((capacity,), jnp.float32),
+            material=jnp.zeros((capacity,), jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.radius.shape[0]
+
+
+@struct.dataclass
+class MeshArrays:
+    """Indexed triangle soup (reference GPUVertex/GPUFace,
+    GPUScene.h:25-38). Padded faces index vertex 0 with valid=False.
+    """
+    positions: jax.Array      # (V, 3) f32
+    normals: jax.Array        # (V, 3) f32
+    uvs: jax.Array            # (V, 2) f32
+    faces: jax.Array          # (F, 3) i32  (v0, v1, v2)
+    face_material: jax.Array  # (F,)  i32
+    face_valid: jax.Array     # (F,)  bool
+
+    @staticmethod
+    def empty(v_capacity: int = 1, f_capacity: int = 0) -> "MeshArrays":
+        v_capacity = max(v_capacity, 1)
+        return MeshArrays(
+            positions=jnp.zeros((v_capacity, 3), jnp.float32),
+            normals=jnp.zeros((v_capacity, 3), jnp.float32),
+            uvs=jnp.zeros((v_capacity, 2), jnp.float32),
+            faces=jnp.zeros((f_capacity, 3), jnp.int32),
+            face_material=jnp.zeros((f_capacity,), jnp.int32),
+            face_valid=jnp.zeros((f_capacity,), bool),
+        )
+
+    @property
+    def num_faces(self) -> int:
+        return self.faces.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    def gather_face_vertices(self, face_ids: jax.Array):
+        """Returns (p0, p1, p2) positions for the given face indices."""
+        f = self.faces[face_ids]
+        return (self.positions[f[..., 0]],
+                self.positions[f[..., 1]],
+                self.positions[f[..., 2]])
+
+
+@struct.dataclass
+class EnvMap:
+    """Environment light (reference: cubemap texture sampled at
+    main_raytracing.cu:151-155 through CUDA texture hardware).
+
+    `data` is either a cubemap (6, H, W, 3) or an equirect panorama
+    (H, W, 3); `is_cube` is a static (pytree-aux) flag. Sampling lives
+    in raypt.render.envmap.
+    """
+    data: jax.Array                     # (6, H, W, 3) or (H, W, 3) f32
+    is_cube: bool = struct.field(pytree_node=False, default=True)
+
+    @staticmethod
+    def constant(color=(0.0, 0.0, 0.0)) -> "EnvMap":
+        data = jnp.broadcast_to(
+            jnp.asarray(color, jnp.float32), (6, 1, 1, 3)
+        ).astype(jnp.float32)
+        return EnvMap(data=data, is_cube=True)
+
+
+@struct.dataclass
+class CameraRays:
+    """Device-side camera: the derived ray-gen frame the reference
+    computes in Camera::Update (Scene.cpp:15-36) and reads in
+    GPUCamera::GetRay (GPUScene.h:13).
+
+    get_ray(uv) = (origin, lower_left + u*horizontal + v*vertical - origin),
+    direction unnormalized exactly like the reference.
+    All four fields are differentiable (camera grads for inverse
+    rendering come for free).
+    """
+    origin: jax.Array            # (3,) f32
+    lower_left: jax.Array        # (3,) f32 world-space near-plane corner
+    horizontal: jax.Array        # (3,) f32 world-space viewport x extent
+    vertical: jax.Array          # (3,) f32 world-space viewport y extent
+
+    def get_ray(self, u: jax.Array, v: jax.Array):
+        """u, v in [0,1], v=0 at the lower-left corner. Batched over any
+        leading shape of u/v. Returns (origin, direction-unnormalized).
+        """
+        d = (self.lower_left
+             + u[..., None] * self.horizontal
+             + v[..., None] * self.vertical
+             - self.origin)
+        ro = jnp.broadcast_to(self.origin, d.shape)
+        return ro, d
+
+
+@struct.dataclass
+class Scene:
+    """The full renderable scene — pytree analogue of the reference's
+    GPUScene struct-of-pointers (GPUScene.h:76-96) plus host Scene state.
+    """
+    materials: Materials
+    spheres: Spheres
+    mesh: MeshArrays
+    env: EnvMap
+    camera: CameraRays
+
+    @property
+    def shapes_signature(self) -> tuple:
+        """Static shape signature; a change here forces re-jit (the
+        analogue of the reference's SceneMemory realloc path,
+        Scene.cpp:202-231)."""
+        return (self.mesh.num_faces, self.mesh.num_vertices,
+                self.spheres.capacity, self.materials.capacity)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters — the reference hardcodes all of these
+    as compile-time constants (SURVEY §5.6): bounces=6
+    (main_raytracing.cu:115), spp=5 (166-170), env clamp 50 (153),
+    shadow offset 0.01 (135), exposure 0.5 (main.cpp:91).
+
+    This is hashable and passed as a static jit argument.
+    """
+    width: int = 1024
+    height: int = 768
+    samples_per_pixel: int = 5
+    num_bounces: int = 6
+    env_radiance_clamp: float = 50.0
+    normal_offset: float = 0.01
+    exposure: float = 0.5
+    russian_roulette: bool = True
+    env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
+    backend: str = "auto"     # "bruteforce" | "bvh" | "auto"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,123 @@
+"""Inverse rendering: recover scene parameters from target images by
+gradient descent (BASELINE config #5: "recover bunny vertex offsets +
+albedo from 16 target views ... sharded across a multi-host pod slice").
+
+New capability vs the reference (which renders forward only). The
+optimizer is optax; the render inside the loss is the same integrator
+the forward path uses — only `recompute_hit` carries tangents, the BVH
+walk stays detached (SURVEY §7 M4).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..accel import lbvh as lbvh_mod
+from ..core.types import CameraRays, RenderConfig, Scene
+from ..render.integrator import make_finder, render_frame
+from .params import SceneParams, apply_params, freeze_except
+
+
+def stack_views(views: Sequence[CameraRays]) -> CameraRays:
+    """Stack per-view camera frames into one pytree with leading axis K."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *views)
+
+
+def view_at(views: CameraRays, k) -> CameraRays:
+    return jax.tree_util.tree_map(lambda x: x[k], views)
+
+
+def l2_image_loss(img, target, mask=None):
+    d = (img - target) ** 2
+    if mask is not None:
+        d = d * mask[..., None] if mask.ndim == d.ndim - 1 else d * mask
+    return jnp.mean(d)
+
+
+def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
+                  trainable: Sequence[str],
+                  bvh: Optional[lbvh_mod.LBVH] = None,
+                  loss_fn: Callable = l2_image_loss,
+                  refit: bool = True):
+    """Build a jitted optimization step over K target views.
+
+    step(params, opt_state, views(K-stacked), targets (K,H,W,3), key)
+      -> (params, opt_state, loss)
+
+    When `refit` and a BVH is given, its AABBs are recomputed from the
+    *current* vertex offsets each step (topology fixed — the LBVH refit
+    path, accel.lbvh.refit), keeping traversal correct while vertices
+    move without a full rebuild.
+    """
+    trainable = tuple(trainable)
+
+    @jax.jit
+    def step_fn(params: SceneParams, opt_state, views: CameraRays,
+                targets: jax.Array, key: jax.Array):
+        def loss_over_views(p):
+            s = apply_params(scene, p)
+            the_bvh = bvh
+            if the_bvh is not None and refit:
+                the_bvh = lbvh_mod.refit(the_bvh, s.mesh.positions,
+                                         s.mesh.faces, s.mesh.face_valid)
+            finder = make_finder(s, cfg, the_bvh)
+            k = targets.shape[0]
+
+            def one_view(i, acc):
+                sv = s.replace(camera=view_at(views, i))
+                img = _render(sv, cfg, jax.random.fold_in(key, i), finder)
+                return acc + loss_fn(img, targets[i])
+            total = jax.lax.fori_loop(0, k, one_view, jnp.float32(0.0))
+            return total / k
+
+        loss, grads = jax.value_and_grad(loss_over_views)(params)
+        grads = freeze_except(grads, trainable)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    return step_fn
+
+
+def _render(scene, cfg, key, finder):
+    from ..render.integrator import render_sample
+    from ..rng import frame_key, sample_key
+    fkey = frame_key(key, 0)
+
+    def one(s, acc):
+        return acc + render_sample(scene, cfg, sample_key(fkey, s), finder)
+    acc = jax.lax.fori_loop(0, cfg.samples_per_pixel, one,
+                            jnp.zeros((cfg.height, cfg.width, 3)))
+    return acc / cfg.samples_per_pixel
+
+
+def fit(scene: Scene, cfg: RenderConfig, views: Sequence[CameraRays],
+        targets: jax.Array, trainable: Sequence[str],
+        steps: int = 100, learning_rate: float = 1e-2,
+        bvh: Optional[lbvh_mod.LBVH] = None, key: Optional[jax.Array] = None,
+        resample_noise: bool = False, callback=None):
+    """Run inverse rendering; returns (params, losses).
+
+    resample_noise=False keeps the RNG streams fixed across steps (zero
+    loss floor when targets were rendered with the same key — the usual
+    'correlated samples' trick for low-spp inverse rendering);
+    True redraws every step for unbiased stochastic gradients."""
+    key = key if key is not None else jax.random.key(0)
+    params = SceneParams.init(scene)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    stacked = stack_views(list(views))
+    step_fn = make_fit_step(scene, cfg, optimizer, trainable, bvh=bvh)
+    losses = []
+    for i in range(steps):
+        k = jax.random.fold_in(key, i) if resample_noise else key
+        params, opt_state, loss = step_fn(params, opt_state, stacked,
+                                          targets, k)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, float(loss))
+    return params, losses

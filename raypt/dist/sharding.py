@@ -1,0 +1,156 @@
+"""Multi-chip / multi-host rendering and gradient reduction.
+
+The reference is single-process single-GPU (SURVEY §2 "Parallelism &
+communication inventory": a 16x16 thread-block grid is its entire
+parallelism story). This module is the new first-class component the
+north star requires: image tiles sharded over a `jax.sharding.Mesh`,
+scene/BVH replicated, per-scene parameter gradients all-reduced with
+`psum` over ICI/DCN.
+
+Design choices (TPU-first):
+  * `shard_map` rather than GSPMD auto-sharding for the render body:
+    the BVH walk is a data-dependent while-loop per ray tile; under
+    shard_map every device runs its *own* loop to completion with zero
+    per-iteration cross-chip traffic (GSPMD would instead all-reduce
+    the batched loop condition every iteration).
+  * RNG is pixel-id keyed (raypt.rng), so sharded output is bitwise
+    identical to the single-device render — asserted in tests.
+  * Rows are the shard axis: H is padded to a multiple of the device
+    count; each device renders an (H/n, W) slab.
+  * Gradients: `grad_psum` wraps a loss in shard_map, each device
+    differentiating its slab loss, then psums the scene-parameter
+    cotangents — the overlap of backward compute and reduction is
+    XLA's job once both live in one jitted program.
+
+Multi-host: `init_distributed` wires `jax.distributed.initialize`; the
+same mesh code then spans all hosts' devices (DCN+ICI), with each host
+feeding its addressable shards.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..accel import lbvh as lbvh_mod
+from ..core.types import RenderConfig, Scene
+from ..render.integrator import (Finder, make_finder, pixel_id_grid,
+                                 render_sample)
+from ..rng import frame_key, sample_key
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (`jax.distributed.initialize`). No-op when
+    args are None and no cluster env is detected."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception:
+        if coordinator is not None:
+            raise
+
+
+def default_mesh(n: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the 'tiles' axis (image-tile data axis)."""
+    devs = jax.devices()
+    n = n or len(devs)
+    return Mesh(devs[:n], ("tiles",))
+
+
+def _pad_rows(h: int, n: int) -> int:
+    return (-h) % n
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frame_sharded(scene: Scene, cfg: RenderConfig, key: jax.Array,
+                         mesh: Mesh, frame_index=0,
+                         bvh: Optional[lbvh_mod.LBVH] = None) -> jax.Array:
+    """One progressive frame with rows sharded over mesh axis 'tiles'.
+    Returns the full (H, W, 3) radiance image (sharded device output;
+    bitwise equal to the single-device `render_frame`)."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "bvh" if (bvh is not None or scene.mesh.num_faces >= 64) else "bruteforce"
+    if backend == "bvh" and bvh is None:
+        bvh = lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
+                             scene.mesh.face_valid)
+    n = mesh.devices.size
+    ids = pixel_id_grid(cfg)
+    pad = _pad_rows(cfg.height, n)
+    if pad:
+        # pad with duplicate ids; padded rows are dropped after gather
+        ids = jnp.concatenate([ids, ids[:pad]], axis=0)
+
+    fkey = frame_key(key, frame_index)
+    cfg_local = cfg.replace(backend=backend)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P("tiles", None)),
+             out_specs=P("tiles", None, None))
+    def shard_render(scene_rep, bvh_rep, fkey_rep, ids_slab):
+        finder = make_finder(scene_rep, cfg_local, bvh_rep)
+
+        def one(s, acc):
+            return acc + render_sample(scene_rep, cfg_local,
+                                       sample_key(fkey_rep, s),
+                                       finder, pixel_ids=ids_slab)
+        acc0 = jax.lax.pcast(jnp.zeros(ids_slab.shape + (3,), jnp.float32),
+                             ("tiles",), to="varying")
+        acc = jax.lax.fori_loop(0, cfg.samples_per_pixel, one, acc0)
+        return acc / cfg.samples_per_pixel
+
+    img = shard_render(scene, bvh, fkey, ids)
+    return img[: cfg.height]
+
+
+def loss_and_grad_sharded(loss_fn, scene: Scene, params, cfg: RenderConfig,
+                          mesh: Mesh, key: jax.Array, targets: jax.Array,
+                          bvh: Optional[lbvh_mod.LBVH] = None):
+    """Differentiate a per-pixel loss over a row-sharded render.
+
+    loss_fn(params, scene, cfg, key, pixel_ids, target_slab) -> scalar
+    sum-loss over the slab, differentiable w.r.t. params (a pytree of
+    scene parameters). Each device computes grads for its slab; psum
+    over 'tiles' yields replicated global grads — the all-reduce the
+    north star asks to overlap with the backward pass (XLA schedules
+    the psum alongside backward compute inside the one jitted program).
+
+    Returns (loss, grads), both replicated.
+    """
+    n = mesh.devices.size
+    ids = pixel_id_grid(cfg)
+    pad = _pad_rows(cfg.height, n)
+    if pad:
+        ids = jnp.concatenate([ids, ids[:pad]], axis=0)
+        zpad = jnp.zeros((pad,) + targets.shape[1:], targets.dtype)
+        targets = jnp.concatenate([targets, zpad], axis=0)
+        mask = jnp.concatenate([jnp.ones((cfg.height,), jnp.float32),
+                                jnp.zeros((pad,), jnp.float32)])
+    else:
+        mask = jnp.ones((cfg.height,), jnp.float32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P("tiles", None), P("tiles", None, None),
+                       P("tiles")),
+             out_specs=(P(), P()))
+    def shard_grad(params_rep, scene_rep, key_rep, ids_slab, tgt_slab,
+                   mask_slab):
+        def slab_loss(p):
+            return loss_fn(p, scene_rep, cfg, key_rep, ids_slab,
+                           tgt_slab, mask_slab)
+        loss, grads = jax.value_and_grad(slab_loss)(params_rep)
+        loss = jax.lax.psum(loss, "tiles")
+        # no explicit psum on grads: params enter replicated (P()), so
+        # their use against sharded pixels is an implicit pvary whose
+        # transpose already all-reduces the cotangent — the cross-chip
+        # gradient reduction the north star asks for, inserted by AD
+        # itself and overlappable with backward compute by XLA.
+        return loss, grads
+
+    return shard_grad(params, scene, key, ids, targets, mask)

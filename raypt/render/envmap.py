@@ -1,0 +1,103 @@
+"""Environment-light sampling in pure jnp.
+
+Reference: the megakernel samples a mip-mapped CUDA cubemap texture with
+hardware bilinear filtering, after rotating the miss direction 180
+degrees about Y (main_raytracing.cu:151-155: `quat(vec3(0, PI, 0)) *
+dir` then `texCubemapLod(..., 0)`), and clamps radiance to 50.
+
+TPU-native: the cubemap is a plain (6, H, W, 3) array; face selection +
+bilinear filtering are branchless jnp (gathers fuse into the megastep).
+Equirectangular panoramas (H, W, 3) are supported as well — they are
+the common HDR interchange format and avoid cube-seam handling.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import EnvMap
+
+
+def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array,
+              wrap_x: bool = False) -> jax.Array:
+    """Sample img (H, W, C) at continuous pixel coords (x, y) with
+    bilinear filtering; y clamped, x clamped or wrapped."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    if wrap_x:
+        x0 = jnp.mod(x0, w)
+        x1 = jnp.mod(x1, w)
+    else:
+        x0 = jnp.clip(x0, 0, w - 1)
+        x1 = jnp.clip(x1, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+    y1 = jnp.clip(y1, 0, h - 1)
+    a = img[y0, x0]
+    b = img[y0, x1]
+    c = img[y1, x0]
+    d = img[y1, x1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
+def _cube_faceuv(d: jax.Array):
+    """CUDA cubemap face selection + per-face (s, t) in [0,1]
+    (face order +x, -x, +y, -y, +z, -z; D3D/CUDA t runs top-down)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+
+    face = jnp.where(
+        is_x, jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)))
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+    sc = jnp.where(is_x, jnp.where(x > 0, -z, z),
+                   jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+    s = (sc / ma + 1.0) * 0.5
+    t = (tc / ma + 1.0) * 0.5
+    return face.astype(jnp.int32), s, t
+
+
+def sample_env(env: EnvMap, d: jax.Array) -> jax.Array:
+    """Sample radiance for unit directions d (..., 3) -> (..., 3)."""
+    if env.is_cube:
+        face, s, t = _cube_faceuv(d)
+        h, w = env.data.shape[1], env.data.shape[2]
+        x = s * w - 0.5
+        y = t * h - 0.5
+        # gather the four texels of the selected face for each ray
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        x1i = jnp.clip(x0i + 1, 0, w - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        a = env.data[face, y0i, x0i]
+        b = env.data[face, y0i, x1i]
+        c = env.data[face, y1i, x0i]
+        e = env.data[face, y1i, x1i]
+        return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + e * fx) * fy
+    else:
+        x, y, z = d[..., 0], d[..., 1], d[..., 2]
+        u = jnp.arctan2(x, -z) / (2.0 * jnp.pi) + 0.5
+        v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / jnp.pi
+        h, w = env.data.shape[0], env.data.shape[1]
+        return _bilinear(env.data, u * w - 0.5, v * h - 0.5, wrap_x=True)
+
+
+def rotate_y_pi(d: jax.Array) -> jax.Array:
+    """quat(vec3(0, PI, 0)) * d == (-x, y, -z): the reference rotates the
+    env lookup 180 degrees about Y (main_raytracing.cu:151)."""
+    return jnp.stack([-d[..., 0], d[..., 1], -d[..., 2]], axis=-1)

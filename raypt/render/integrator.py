@@ -1,0 +1,241 @@
+"""The path-tracing integrator: the reference megakernel re-expressed as
+a masked `lax.scan` over bounce depth.
+
+Reference: raytracing_kernel_main + ray_color (main_raytracing.cu:
+111-200): per pixel, `sample_count` jittered camera rays, each traced
+up to 6 bounces with the diffuse/specular BRDF lerp, Russian roulette,
+and environment miss shading; progressive accumulation via
+lerp(last_frame, mean, 1/(frame_index+1)) at 196-197.
+
+TPU-native restructuring (SURVEY §5.7, §7 M2):
+  * one *wavefront* of H*W rays per sample advances through a
+    `lax.scan` over bounces — no data-dependent break; termination
+    (roulette, miss) is an `alive` mask so every lane stays static;
+  * roulette keeps the unbiased 1/p boost exactly as the reference
+    (main_raytracing.cu:140-147) but as a masked multiply;
+  * RNG is counter-based threefry (raypt.rng), not stateful curand;
+  * the closest-hit *finder* is pluggable (bruteforce | bvh | pallas)
+    and runs detached; shading uses the differentiable recompute, so
+    `jax.grad` of any loss of the image w.r.t. vertices, materials, or
+    camera works through this function.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import lbvh as lbvh_mod
+from ..accel.traverse import (HitIds, find_closest_bruteforce,
+                              find_closest_bvh, recompute_hit)
+from ..core.math3d import lerp, normalize, reflect
+from ..core.types import RenderConfig, Scene
+from ..rng import (bounce_uniforms, frame_key, random_point_on_sphere,
+                   sample_jitter, sample_key)
+from .envmap import rotate_y_pi, sample_env
+
+Finder = Callable[[Scene, jax.Array, jax.Array], HitIds]
+
+
+def make_finder(scene: Scene, cfg: RenderConfig,
+                bvh: Optional[lbvh_mod.LBVH] = None) -> Finder:
+    """Pick the closest-hit backend. "auto": BVH when one is supplied
+    (or buildable and the mesh is nontrivial), else brute force."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "bvh" if (bvh is not None or scene.mesh.num_faces >= 64) else "bruteforce"
+    if backend == "bruteforce":
+        return find_closest_bruteforce
+    if backend == "bvh":
+        the_bvh = bvh
+        if the_bvh is None:
+            the_bvh = lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
+                                     scene.mesh.face_valid)
+        return partial(_bvh_finder, the_bvh)
+    if backend == "pallas":
+        from ..kernels import intersect as pallas_intersect
+        return pallas_intersect.make_pallas_finder(scene, bvh)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def _bvh_finder(bvh, scene, ro, rd):
+    return find_closest_bvh(scene, bvh, ro, rd)
+
+
+def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
+                ro: jax.Array, rd: jax.Array, finder: Finder,
+                pixel_ids: jax.Array) -> jax.Array:
+    """Trace one wavefront of rays (ro, rd unnormalized ok) for
+    cfg.num_bounces bounces; returns linear radiance (..., 3).
+    pixel_ids (int32, same leading shape as rays) index the RNG streams,
+    making the result independent of ray batching/sharding layout.
+
+    Faithful restatement of ray_color (main_raytracing.cu:111-160) with
+    break -> mask."""
+    rd = normalize(rd)
+
+    def bounce(carry, b):
+        ro, rd, throughput, radiance, alive = carry
+        u = bounce_uniforms(skey, b, pixel_ids)
+
+        ids = finder(scene, ro, rd)
+        hit = recompute_hit(scene, ro, rd, ids)
+        hit_now = alive & hit.valid
+        miss_now = alive & ~hit.valid
+
+        mats = scene.materials
+        albedo = mats.albedo[hit.mat_id]
+        emissive = mats.emissive[hit.mat_id]
+        specular = mats.specular[hit.mat_id]
+        roughness = mats.roughness[hit.mat_id]
+        spec_pct = mats.specular_percent[hit.mat_id]
+
+        do_spec = (u[..., 0] < spec_pct).astype(jnp.float32)[..., None]
+
+        # emissive uses the throughput *before* the albedo multiply
+        # (main_raytracing.cu:126-127)
+        radiance = radiance + jnp.where(hit_now[..., None],
+                                        throughput * emissive, 0.0)
+        throughput = jnp.where(hit_now[..., None],
+                               throughput * lerp(albedo, specular, do_spec),
+                               throughput)
+
+        sph = random_point_on_sphere(u[..., 1], u[..., 2])
+        diffuse_dir = normalize(hit.normal + sph)
+        specular_dir = normalize(reflect(rd, hit.normal))
+        specular_dir = normalize(lerp(specular_dir, diffuse_dir,
+                                      (roughness * roughness)[..., None]))
+        new_dir = normalize(lerp(diffuse_dir, specular_dir, do_spec))
+
+        new_ro = hit.position + hit.normal * cfg.normal_offset
+        ro = jnp.where(hit_now[..., None], new_ro, ro)
+        rd = jnp.where(hit_now[..., None], new_dir, rd)
+
+        if cfg.russian_roulette:
+            p = jnp.max(throughput, axis=-1)
+            die = hit_now & (u[..., 3] > p)
+            boost = jnp.where(hit_now & ~die,
+                              1.0 / jnp.maximum(p, 1e-12), 1.0)
+            throughput = throughput * boost[..., None]
+            alive = alive & ~die
+
+        env = sample_env(scene.env,
+                         rotate_y_pi(rd) if cfg.env_yaw_pi else rd)
+        env = jnp.clip(env, 0.0, cfg.env_radiance_clamp)
+        radiance = radiance + jnp.where(miss_now[..., None],
+                                        throughput * env, 0.0)
+        alive = alive & ~miss_now
+
+        return (ro, rd, throughput, radiance, alive), None
+
+    # derive the initial carry from the ray *directions* so its sharding
+    # "varying" type matches under shard_map: rd depends on the sharded
+    # pixel grid, whereas ro broadcasts the replicated camera origin and
+    # fresh zeros/ones would be replicated-typed — either would fail the
+    # scan carry type check.
+    zeros = rd * 0.0
+    init = (ro + zeros, rd,
+            zeros + 1.0,           # throughput
+            zeros,                 # radiance
+            zeros[..., 0] < 1.0)   # alive = True everywhere
+    (ro, rd, _, radiance, _), _ = jax.lax.scan(
+        bounce, init, jnp.arange(cfg.num_bounces))
+    return radiance
+
+
+def pixel_id_grid(cfg: RenderConfig) -> jax.Array:
+    """(H, W) int32 linear pixel ids (the RNG counter per pixel)."""
+    return (jnp.arange(cfg.height, dtype=jnp.int32)[:, None] * cfg.width
+            + jnp.arange(cfg.width, dtype=jnp.int32)[None, :])
+
+
+def camera_rays_for_ids(scene: Scene, cfg: RenderConfig,
+                        pixel_ids: jax.Array, jitter: jax.Array):
+    """Primary rays for arbitrary pixel-id sets (works on full grids and
+    on sharded row-slices alike). uv matches GetRay parity
+    (GPUScene.h:13; jittered uv at main_raytracing.cu:190) except image
+    row 0 is the *top* row (we flip v; the reference leaves its
+    framebuffer bottom-up relative to camera space and lets D3D display
+    it)."""
+    h, w = cfg.height, cfg.width
+    px = (pixel_ids % w).astype(jnp.float32)
+    py = (pixel_ids // w).astype(jnp.float32)
+    u = (px + jitter[..., 0]) / w
+    v = 1.0 - (py + jitter[..., 1]) / h
+    return scene.camera.get_ray(u, v)
+
+
+def render_sample(scene: Scene, cfg: RenderConfig, skey: jax.Array,
+                  finder: Finder,
+                  pixel_ids: Optional[jax.Array] = None) -> jax.Array:
+    """One sample-per-pixel pass -> (*ids, 3) radiance (full (H, W)
+    grid when pixel_ids is None)."""
+    if pixel_ids is None:
+        pixel_ids = pixel_id_grid(cfg)
+    jitter = sample_jitter(skey, pixel_ids)
+    ro, rd = camera_rays_for_ids(scene, cfg, pixel_ids, jitter)
+    return trace_paths(scene, cfg, skey, ro, rd, finder, pixel_ids)
+
+
+@partial(jax.jit, static_argnames=("cfg", "finder"))
+def _render_frame_impl(scene, cfg, key, frame_index, bvh, finder):
+    if finder is None:
+        finder = make_finder(scene, cfg, bvh)
+    fkey = frame_key(key, frame_index)
+
+    def one(s, acc):
+        return acc + render_sample(scene, cfg, sample_key(fkey, s), finder)
+
+    acc = jax.lax.fori_loop(
+        0, cfg.samples_per_pixel, one,
+        jnp.zeros((cfg.height, cfg.width, 3), jnp.float32))
+    return acc / cfg.samples_per_pixel
+
+
+def render_frame(scene: Scene, cfg: RenderConfig, key: jax.Array,
+                 frame_index=0, finder: Optional[Finder] = None,
+                 bvh: Optional[lbvh_mod.LBVH] = None) -> jax.Array:
+    """One progressive frame: mean of cfg.samples_per_pixel passes
+    (raytracing_kernel_main's sample loop, main_raytracing.cu:188-195).
+    Returns (H, W, 3) linear radiance. Jitted; cfg (and any custom
+    finder callable) are static jit arguments, the scene/bvh pytrees
+    are traced, so camera moves and vertex edits do NOT retrigger
+    compilation — the analogue of the reference's dirty-flag re-upload
+    (SURVEY §3.3)."""
+    return _render_frame_impl(scene, cfg, key, jnp.asarray(frame_index),
+                              bvh, finder)
+
+
+def accumulate(prev: jax.Array, current: jax.Array,
+               frame_index) -> jax.Array:
+    """Progressive average, reference lerp(last, cur, 1/(fi+1))
+    (main_raytracing.cu:196-197)."""
+    fi = jnp.asarray(frame_index, jnp.float32)
+    t = jnp.where(fi > 0, 1.0 / (fi + 1.0), 1.0)
+    return lerp(prev, current, t)
+
+
+@partial(jax.jit, static_argnames=("cfg", "finder"))
+def render_aovs(scene: Scene, cfg: RenderConfig,
+                finder: Optional[Finder] = None,
+                bvh: Optional[lbvh_mod.LBVH] = None) -> dict:
+    """Primary-hit AOVs (depth / normal / albedo / hit mask) at pixel
+    centers — the build's replacement for the reference DebugDraw
+    overlay (SURVEY §5.5)."""
+    if finder is None:
+        finder = make_finder(scene, cfg, bvh)
+    h, w = cfg.height, cfg.width
+    jitter = jnp.full((h, w, 2), 0.5, jnp.float32)
+    ro, rd = camera_rays_for_ids(scene, cfg, pixel_id_grid(cfg), jitter)
+    rd = normalize(rd)
+    ids = finder(scene, ro, rd)
+    hit = recompute_hit(scene, ro, rd, ids)
+    albedo = scene.materials.albedo[hit.mat_id]
+    return {
+        "depth": jnp.where(hit.valid, hit.t, 0.0),
+        "normal": jnp.where(hit.valid[..., None], hit.normal, 0.0),
+        "albedo": jnp.where(hit.valid[..., None], albedo, 0.0),
+        "hit": hit.valid,
+    }

@@ -1,0 +1,5 @@
+from .sampler import (bounce_uniforms, random_point_on_sphere,
+                      sample_jitter, frame_key, sample_key)
+
+__all__ = ["bounce_uniforms", "random_point_on_sphere", "sample_jitter",
+           "frame_key", "sample_key"]

@@ -1,0 +1,75 @@
+"""Counter-based RNG for path tracing — threefry replaces the
+reference's per-pixel curand XORWOW state array.
+
+Reference: Random.{h,cu} — one 48-byte curandState per pixel allocated
+and seeded by a dedicated kernel (RayTracing.cpp:213-221, Random.cu:3-13),
+then advanced statefully inside the megakernel.
+
+TPU-native design: *zero* RNG state in memory. Every draw is a pure
+function of (base key, frame, sample, bounce, pixel id), so
+
+  * no per-pixel state to allocate, shard, or re-seed on resize (the
+    reference reseeds from wall-clock on every resize,
+    RayTracing.cpp:219);
+  * the same pixel gets the same stream regardless of how the image is
+    sharded over a device mesh -> sharded rendering is bitwise equal to
+    single-chip rendering (the property the dist tests assert).
+
+Stream layout per pixel-sample:
+  jitter:  2 uniforms             (main_raytracing.cu:190)
+  bounce b: specular pick, sphere-z, sphere-angle, roulette
+            (main_raytracing.cu:124,129,142 via Random.h:26-27)
+
+Parity with the reference is distribution-level, not bitwise (SURVEY §7
+"RNG parity"): tests validate moments and uniformity, not sequences.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def frame_key(base_key: jax.Array, frame_index) -> jax.Array:
+    """Key for one progressive frame."""
+    return jax.random.fold_in(base_key, frame_index)
+
+
+def sample_key(fkey: jax.Array, sample_index) -> jax.Array:
+    """Key for one sample-per-pixel pass within a frame."""
+    return jax.random.fold_in(fkey, sample_index)
+
+
+def _per_pixel_uniforms(key: jax.Array, pixel_ids: jax.Array,
+                        n: int) -> jax.Array:
+    """n iid U[0,1) draws per pixel id -> (*pixel_ids.shape, n).
+    Pure counter construction: key x pixel_id -> threefry stream."""
+    flat = pixel_ids.reshape(-1)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, flat)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(keys)
+    return u.reshape(pixel_ids.shape + (n,))
+
+
+def sample_jitter(skey: jax.Array, pixel_ids: jax.Array) -> jax.Array:
+    """Sub-pixel jitter in [0,1)^2, shape (*ids, 2)
+    (reference: uv = (pixel + (u1, u2)) / resolution)."""
+    return _per_pixel_uniforms(jax.random.fold_in(skey, 0xA11CE),
+                               pixel_ids, 2)
+
+
+def bounce_uniforms(skey: jax.Array, bounce, pixel_ids: jax.Array) -> jax.Array:
+    """Four iid U[0,1) draws per pixel for one bounce:
+    [..., 0] specular pick, [..., 1] sphere z, [..., 2] sphere angle,
+    [..., 3] russian roulette."""
+    return _per_pixel_uniforms(jax.random.fold_in(skey, bounce),
+                               pixel_ids, 4)
+
+
+def random_point_on_sphere(u_z: jax.Array, u_a: jax.Array) -> jax.Array:
+    """Uniform point on the unit sphere from two uniforms, exactly the
+    reference's z/angle construction (Random.h:26-31):
+      z = 2*u1 - 1; a = 2*pi*u2; r = sqrt(1 - z^2); (r cos a, r sin a, z).
+    Batched: returns (..., 3)."""
+    z = u_z * 2.0 - 1.0
+    a = u_a * (2.0 * jnp.pi)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)

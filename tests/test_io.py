@@ -1,0 +1,120 @@
+"""IO round trips: OBJ, PNG, PPM, HDR, DDS, checkpoints."""
+import os
+import zlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raypt.io import (load_dds, load_hdr, load_obj, load_pytree,
+                      load_render_state, read_ppm, save_pytree,
+                      save_render_state, smooth_normals, write_hdr,
+                      write_png, write_ppm)
+
+REF_DDS = "/root/reference/data/sunset_uncompressed.dds"
+REF_OBJ = "/root/reference/data/stanford-bunny.obj"
+
+
+def test_obj_parse(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("""
+# comment
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+f 1/1 2/2 3/3
+f 2 4 3
+""")
+    mesh = load_obj(str(p))
+    assert mesh["faces"].shape == (2, 3)
+    assert mesh["positions"].shape[1] == 3
+    # generated normals are unit +z for this planar mesh
+    assert np.allclose(np.abs(mesh["normals"][:, 2]), 1.0, atol=1e-6)
+
+
+def test_obj_quad_triangulation_and_negative_indices(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
+    mesh = load_obj(str(p))
+    assert mesh["faces"].shape == (3 - 1, 3) or mesh["faces"].shape == (2, 3)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_OBJ), reason="bunny not present")
+def test_bunny_counts():
+    mesh = load_obj(REF_OBJ)
+    assert mesh["positions"].shape == (35947, 3)  # BASELINE.md counts
+    assert mesh["faces"].shape == (69451, 3)
+    # referenced vertices must have unit normals (the bunny has ~1.1k
+    # unreferenced vertices whose normals stay zero)
+    ref = np.unique(mesh["faces"])
+    assert np.allclose(np.linalg.norm(mesh["normals"][ref], axis=1), 1.0,
+                       atol=1e-4)
+
+
+def test_png_roundtrippable(tmp_path):
+    img = (np.random.default_rng(0).uniform(0, 1, (17, 23, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "x.png"
+    write_png(str(p), img)
+    raw = p.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode IDAT and compare after unfiltering (filter byte is 0)
+    idat_start = raw.index(b"IDAT") + 4
+    idat_len = int.from_bytes(raw[idat_start - 8:idat_start - 4], "big")
+    data = zlib.decompress(raw[idat_start:idat_start + idat_len])
+    rows = np.frombuffer(data, np.uint8).reshape(17, 1 + 23 * 3)
+    assert (rows[:, 0] == 0).all()
+    assert np.array_equal(rows[:, 1:].reshape(17, 23, 3), img)
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = (np.random.default_rng(1).uniform(0, 1, (8, 9, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "x.ppm"
+    write_ppm(str(p), img)
+    back = read_ppm(str(p))
+    assert np.array_equal(back, img)
+
+
+def test_hdr_roundtrip(tmp_path):
+    img = np.random.default_rng(2).uniform(0, 8, (16, 32, 3)).astype(np.float32)
+    p = tmp_path / "x.hdr"
+    write_hdr(str(p), img)
+    back = load_hdr(str(p))
+    assert back.shape == img.shape
+    # RGBE has ~1% mantissa precision
+    assert np.allclose(back, img, rtol=0.01, atol=0.05)  # RGBE shared-exponent step
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DDS), reason="dds not present")
+def test_reference_dds_cubemap():
+    d = load_dds(REF_DDS)
+    assert d["is_cube"] and d["mips"] == 8
+    assert d["data"].shape == (6, 128, 128, 4)
+    assert np.isfinite(d["data"]).all()
+    assert d["data"][..., :3].max() > 1.0  # HDR content
+
+
+def test_render_state_checkpoint(tmp_path):
+    accum = jnp.ones((4, 4, 3)) * 2.5
+    key = jax.random.key(42)
+    p = str(tmp_path / "state.npz")
+    save_render_state(p, accum, 7, key)
+    a2, fi, k2 = load_render_state(p)
+    assert np.allclose(np.asarray(a2), 2.5) and fi == 7
+    assert np.array_equal(np.asarray(jax.random.key_data(key)),
+                          np.asarray(jax.random.key_data(k2)))
+
+
+def test_pytree_checkpoint(tmp_path):
+    tree = {"a": jnp.arange(3.0), "b": {"c": jnp.ones((2, 2))}}
+    p = str(tmp_path / "tree.npz")
+    save_pytree(p, tree, step=11)
+    like = {"a": jnp.zeros(3), "b": {"c": jnp.zeros((2, 2))}}
+    back, step = load_pytree(p, like)
+    assert step == 11
+    assert np.allclose(np.asarray(back["a"]), [0, 1, 2])
+    assert np.allclose(np.asarray(back["b"]["c"]), 1.0)

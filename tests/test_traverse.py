@@ -1,0 +1,101 @@
+"""BVH traversal vs brute force (the correctness oracle), and the
+differentiable hit recompute."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raypt.accel import (build, find_closest_bruteforce, find_closest_bvh,
+                         recompute_hit)
+from raypt.core.math3d import BIG, normalize
+from raypt.core.scene import MaterialDef, SceneBuilder
+
+
+def _scene(rng, ntri=50, nsph=4):
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef(albedo=(0.5, 0.5, 0.5)))
+    for _ in range(ntri):
+        base = rng.uniform(-5, 5, 3)
+        b.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                       base + rng.uniform(-1, 1, 3), m0)
+    for _ in range(nsph):
+        b.add_sphere(rng.uniform(-5, 5, 3), rng.uniform(0.2, 1.0), m0)
+    return b.freeze()
+
+
+def _rays(rng, n):
+    ro = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    rd = normalize(jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)))
+    return ro, rd
+
+
+def test_bvh_matches_bruteforce(rng):
+    scene = _scene(rng)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    ro, rd = _rays(rng, 1024)
+    a = find_closest_bruteforce(scene, ro, rd)
+    b = find_closest_bvh(scene, bvh, ro, rd, tile=256)
+    assert np.allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+    # identical distances can come from coplanar duplicate faces; require
+    # distance-equivalence rather than strict id equality
+    ta = np.asarray(a.t)
+    same = np.asarray(a.tri) == np.asarray(b.tri)
+    assert (same | np.isclose(ta, np.asarray(b.t), rtol=1e-6)).all()
+
+
+def test_sphere_wins_ties_strictly(rng):
+    """Reference: triangle must be *strictly* closer to beat a sphere
+    (BVHRayHit seeded with sphere t, main_raytracing.cu:62,105)."""
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef(albedo=(1, 1, 1)))
+    # sphere surface and triangle plane both at z = -2 on the ray axis
+    b.add_sphere((0, 0, -3), 1.0, m0)
+    b.add_triangle((-1, -1, -2), (1, -1, -2), (0, 1, -2), m0)
+    scene = b.freeze()
+    ro = jnp.array([[0.0, 0.0, 0.0]])
+    rd = jnp.array([[0.0, 0.0, -1.0]])
+    ids = find_closest_bruteforce(scene, ro, rd)
+    assert int(ids.sphere[0]) == 0 and int(ids.tri[0]) == -1
+
+
+def test_recompute_hit_matches_finder_t(rng):
+    scene = _scene(rng)
+    ro, rd = _rays(rng, 512)
+    ids = find_closest_bruteforce(scene, ro, rd)
+    hit = recompute_hit(scene, ro, rd, ids)
+    sel = np.asarray(ids.valid)
+    assert np.allclose(np.asarray(hit.t)[sel], np.asarray(ids.t)[sel],
+                       rtol=1e-4, atol=1e-4)
+    # normals are unit and face the ray for triangle hits
+    tri = np.asarray(ids.tri) >= 0
+    n = np.asarray(hit.normal)[tri]
+    d = np.asarray(rd)[tri]
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+    assert np.all(np.einsum("ij,ij->i", n, d) < 1e-6)
+
+
+def test_miss_is_big(rng):
+    b = SceneBuilder()
+    b.add_material(MaterialDef())
+    b.add_triangle((0, 0, -5), (1, 0, -5), (0, 1, -5), 0)
+    scene = b.freeze()
+    ro = jnp.array([[0.0, 0.0, 0.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])  # away from the triangle
+    ids = find_closest_bruteforce(scene, ro, rd)
+    assert float(ids.t[0]) >= 1e29 and not bool(ids.valid[0])
+    hit = recompute_hit(scene, ro, rd, ids)
+    assert not bool(hit.valid[0])
+
+
+def test_traversal_under_jit(rng):
+    scene = _scene(rng, ntri=20)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    ro, rd = _rays(rng, 64)
+
+    @jax.jit
+    def f(ro, rd):
+        return find_closest_bvh(scene, bvh, ro, rd, tile=64).t
+
+    t1 = f(ro, rd)
+    t2 = find_closest_bruteforce(scene, ro, rd).t
+    assert np.allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
