@@ -1,0 +1,156 @@
+"""Packed traversal layout: one 64-byte row per BVH node.
+
+Why: the straightforward traversal gathers bmin/bmax/left/skip from
+four arrays plus three vertex rows per leaf — ~8 scattered gathers per
+node visit. On TPU each gather op costs far more than its bytes; the
+loop becomes latency-bound (measured 0.44 Mray-seg/s on v5e).
+
+Packed design (TPU-first):
+  * one (num_nodes, 16) float32 table, one gather per visit;
+  * leaf rows carry the triangle *inline* (p0, e1, e2 edge form), so a
+    leaf visit does the Moller-Trumbore test directly — no leaf box
+    test (for 1-triangle leaves the box test costs as much as the
+    triangle test and saves nothing, unlike the reference's
+    multi-triangle leaves, main_raytracing.cu:49-72);
+  * integer links (next-if-hit / next-if-miss / face id) are bitcast
+    into float slots so the whole row rides one vector register load.
+
+Row layout (16 x f32):
+  internal: [0:3]=bmin [3:6]=bmax [12]=left-child [13]=skip [14]=0
+  leaf:     [0:3]=p0   [3:6]=e1  [6:9]=e2 [12]=face-id [13]=skip [14]=1
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.math3d import BIG
+from .lbvh import LBVH
+
+ROW = 16
+
+
+@struct.dataclass
+class PackedLBVH:
+    rows: jax.Array   # (2N-1, 16) f32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.rows.shape[0]
+
+
+def _itof(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def ftoi(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def pack(bvh: LBVH, positions: jax.Array, faces: jax.Array,
+         face_valid: jax.Array) -> PackedLBVH:
+    """Assemble the packed table from an LBVH + current vertex positions.
+    Cheap (pure layout); re-run after refit/vertex updates."""
+    positions = jax.lax.stop_gradient(positions)
+    n = bvh.num_leaves
+    total = bvh.num_nodes
+    ni = n - 1
+
+    rows = jnp.zeros((total, ROW), jnp.float32)
+    # internal nodes
+    rows = rows.at[:ni, 0:3].set(bvh.bmin[:ni])
+    rows = rows.at[:ni, 3:6].set(bvh.bmax[:ni])
+    rows = rows.at[:ni, 12].set(_itof(bvh.left[:ni]))
+    rows = rows.at[:ni, 13].set(_itof(bvh.skip[:ni]))
+
+    # leaves: inline triangle in edge form; invalid faces get degenerate
+    # triangles (e1 = e2 = 0 -> det == 0 -> never hit)
+    lf = bvh.leaf_face
+    p0 = positions[faces[lf, 0]]
+    p1 = positions[faces[lf, 1]]
+    p2 = positions[faces[lf, 2]]
+    ok = face_valid[lf][:, None]
+    e1 = jnp.where(ok, p1 - p0, 0.0)
+    e2 = jnp.where(ok, p2 - p0, 0.0)
+    rows = rows.at[ni:, 0:3].set(p0)
+    rows = rows.at[ni:, 3:6].set(e1)
+    rows = rows.at[ni:, 6:9].set(e2)
+    rows = rows.at[ni:, 12].set(_itof(lf))
+    rows = rows.at[ni:, 13].set(_itof(bvh.skip[ni:]))
+    rows = rows.at[ni:, 14].set(1.0)
+    return PackedLBVH(rows=rows)
+
+
+def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
+                       t0: jax.Array, active: jax.Array,
+                       max_iters: int | None = None):
+    """Vectorized skip-link walk over a whole wavefront of rays.
+
+    ro/rd (R, 3) with rd normalized, t0 (R,) initial best distance
+    (seeded with the sphere pass, reference parity), active (R,) bool.
+    Returns (t_best (R,), face_id (R,) int32, -1 = none).
+
+    One `lax.while_loop`; every iteration does a single (R, 16) gather
+    + slab test + Moller-Trumbore on the same registers. Rays that are
+    inactive or done sit at node -1 (clamped gather of row 0) and stop
+    contributing to the loop condition.
+    """
+    eps = 1e-8
+
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    t_best0 = t0
+    face0 = jnp.full(node0.shape, -1, jnp.int32)
+    rows = pbvh.rows
+
+    def cond(state):
+        node, _, _, it = state
+        alive = jnp.any(node >= 0)
+        if max_iters is None:
+            return alive
+        return alive & (it < max_iters)
+
+    def body(state):
+        node, t_best, face, it = state
+        r = rows[jnp.clip(node, 0, None)]          # (R, 16) single gather
+        is_leaf = r[:, 14] > 0.5
+
+        # slab test (internal rows)
+        tn1 = (r[:, 0:3] - ro) * inv
+        tn2 = (r[:, 3:6] - ro) * inv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, 0:3] <= r[:, 3:6], axis=-1)
+        hit_box = (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+
+        # Moller-Trumbore (leaf rows; p0=r[0:3], e1=r[3:6], e2=r[6:9])
+        pvec = jnp.cross(rd, r[:, 6:9])
+        det = jnp.sum(r[:, 3:6] * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > eps, 1.0, 0.0) / jnp.where(
+            jnp.abs(det) > eps, det, 1.0)
+        tvec = ro - r[:, 0:3]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, r[:, 3:6])
+        v = jnp.sum(rd * qvec, axis=-1) * inv_det
+        t = jnp.sum(r[:, 6:9] * qvec, axis=-1) * inv_det
+        tri_hit = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0)
+                   & (u + v <= 1.0) & (t > 0.0) & (t < t_best))
+
+        live = node >= 0
+        take = live & is_leaf & tri_hit
+        t_best = jnp.where(take, t, t_best)
+        face = jnp.where(take, ftoi(r[:, 12]), face)
+
+        nxt_internal = jnp.where(hit_box, ftoi(r[:, 12]), ftoi(r[:, 13]))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_internal)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face, it + jnp.int32(1)
+
+    _, t_best, face, _ = jax.lax.while_loop(
+        cond, body, (node0, t_best0, face0,
+                     (t0[..., :0].sum() * 0).astype(jnp.int32)))
+    return t_best, face

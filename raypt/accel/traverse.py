@@ -95,8 +95,10 @@ def _closest_triangle_brute(scene: Scene, ro, rd):
     return t.reshape(ro.shape[:-1]), i.reshape(ro.shape[:-1])
 
 
-def find_closest_bruteforce(scene: Scene, ro, rd) -> HitIds:
-    """rd must be normalized. Batched over leading dims."""
+def find_closest_bruteforce(scene: Scene, ro, rd, active=None) -> HitIds:
+    """rd must be normalized. Batched over leading dims. `active` is
+    accepted for signature parity with the packed finder (a dead ray
+    costs the same as a live one here)."""
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
     ts, si = _closest_sphere(scene, ro, rd)
     tt, ti = _closest_triangle_brute(scene, ro, rd)
@@ -147,6 +149,91 @@ def _traverse_one(bvh: LBVH, p0, p1, p2, face_valid, o, d, t0):
     _, t_best, best_leaf = jax.lax.while_loop(
         cond, body, (zero_i, t0 + d[0] * 0.0, zero_i - 1))
     return t_best, best_leaf
+
+
+def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
+                        tile: int = 0) -> HitIds:
+    """Packed-wavefront closest hit (the fast path): spheres brute-force
+    first (reference ordering), then one fused skip-link walk over the
+    whole ray wavefront (tile=0) or over `tile`-sized chunks.
+
+    `active` (bool, ray-shaped) lets the integrator mask dead rays so
+    they neither gather nor extend the loop trip count."""
+    from .packed import traverse_wavefront
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    shape = ro.shape[:-1]
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    flat_t = ts.reshape(-1)
+    flat_a = (jnp.ones(flat_t.shape, bool) if active is None
+              else active.reshape(-1))
+    n = flat_o.shape[0]
+    if tile and n > tile:
+        pad = (-n) % tile
+        if pad:
+            flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
+            flat_d = jnp.concatenate(
+                [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
+            flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
+            flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
+        t_best, face = jax.lax.map(
+            lambda args: traverse_wavefront(pbvh, *args),
+            (flat_o.reshape(-1, tile, 3), flat_d.reshape(-1, tile, 3),
+             flat_t.reshape(-1, tile), flat_a.reshape(-1, tile)))
+        t_best = t_best.reshape(-1)[:n]
+        face = face.reshape(-1)[:n]
+    else:
+        t_best, face = traverse_wavefront(pbvh, flat_o, flat_d, flat_t,
+                                          flat_a)
+    t_best = t_best.reshape(shape)
+    face = face.reshape(shape)
+    tri_wins = face >= 0
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, face, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+def find_closest_wide(scene: Scene, wbvh, ro, rd, active=None,
+                      tile: int = 0) -> HitIds:
+    """Wide-BVH (4-ary, fat-leaf, ordered-stack) closest hit — the fast
+    TPU path (accel.wide). Same contract as find_closest_packed."""
+    from .wide import traverse_wide
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    shape = ro.shape[:-1]
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    flat_t = ts.reshape(-1)
+    flat_a = (jnp.ones(flat_t.shape, bool) if active is None
+              else active.reshape(-1))
+    n = flat_o.shape[0]
+    if tile and n > tile:
+        pad = (-n) % tile
+        if pad:
+            flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
+            flat_d = jnp.concatenate(
+                [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
+            flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
+            flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
+        t_best, face = jax.lax.map(
+            lambda args: traverse_wide(wbvh, *args),
+            (flat_o.reshape(-1, tile, 3), flat_d.reshape(-1, tile, 3),
+             flat_t.reshape(-1, tile), flat_a.reshape(-1, tile)))
+        t_best = t_best.reshape(-1)[:n]
+        face = face.reshape(-1)[:n]
+    else:
+        t_best, face = traverse_wide(wbvh, flat_o, flat_d, flat_t, flat_a)
+    t_best = t_best.reshape(shape)
+    face = face.reshape(shape)
+    tri_wins = face >= 0
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, face, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
 
 
 def find_closest_bvh(scene: Scene, bvh: LBVH, ro, rd,

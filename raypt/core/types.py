@@ -208,7 +208,8 @@ class RenderConfig:
     exposure: float = 0.5
     russian_roulette: bool = True
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
-    backend: str = "auto"     # "bruteforce" | "bvh" | "auto"
+    backend: str = "auto"     # "bruteforce" | "bvh" | "pallas" | "auto"
+    traversal_tile: int = 0   # 0 = one fused wavefront; else rays per tile
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..accel import lbvh as lbvh_mod
 from ..accel.traverse import (HitIds, find_closest_bruteforce,
-                              find_closest_bvh, recompute_hit)
+                              find_closest_bvh, find_closest_packed,
+                              recompute_hit)
 from ..core.math3d import lerp, normalize, reflect
 from ..core.types import RenderConfig, Scene
 from ..rng import (bounce_uniforms, frame_key, random_point_on_sphere,
@@ -48,20 +49,38 @@ def make_finder(scene: Scene, cfg: RenderConfig,
         backend = "bvh" if (bvh is not None or scene.mesh.num_faces >= 64) else "bruteforce"
     if backend == "bruteforce":
         return find_closest_bruteforce
-    if backend == "bvh":
+    if backend in ("bvh", "bvh2"):
+        from ..accel.packed import PackedLBVH, pack
+        from ..accel.wide import WideBVH, collapse
+        if isinstance(bvh, WideBVH):
+            return partial(_wide_finder, bvh, cfg.traversal_tile)
+        if isinstance(bvh, PackedLBVH):
+            return partial(_packed_finder, bvh, cfg.traversal_tile)
         the_bvh = bvh
         if the_bvh is None:
-            the_bvh = lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
+            the_bvh = lbvh_mod.build(scene.mesh.positions,
+                                     scene.mesh.faces,
                                      scene.mesh.face_valid)
-        return partial(_bvh_finder, the_bvh)
+        if backend == "bvh":
+            wbvh = collapse(the_bvh, scene.mesh.positions, scene.mesh.faces,
+                            scene.mesh.face_valid)
+            return partial(_wide_finder, wbvh, cfg.traversal_tile)
+        pbvh = pack(the_bvh, scene.mesh.positions, scene.mesh.faces,
+                    scene.mesh.face_valid)
+        return partial(_packed_finder, pbvh, cfg.traversal_tile)
     if backend == "pallas":
         from ..kernels import intersect as pallas_intersect
-        return pallas_intersect.make_pallas_finder(scene, bvh)
+        return pallas_intersect.make_pallas_finder(scene, cfg, bvh)
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def _bvh_finder(bvh, scene, ro, rd):
-    return find_closest_bvh(scene, bvh, ro, rd)
+def _packed_finder(pbvh, tile, scene, ro, rd, active=None):
+    return find_closest_packed(scene, pbvh, ro, rd, active=active, tile=tile)
+
+
+def _wide_finder(wbvh, tile, scene, ro, rd, active=None):
+    from ..accel.traverse import find_closest_wide
+    return find_closest_wide(scene, wbvh, ro, rd, active=active, tile=tile)
 
 
 def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
@@ -80,7 +99,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
         ro, rd, throughput, radiance, alive = carry
         u = bounce_uniforms(skey, b, pixel_ids)
 
-        ids = finder(scene, ro, rd)
+        ids = finder(scene, ro, rd, active=alive)
         hit = recompute_hit(scene, ro, rd, ids)
         hit_now = alive & hit.valid
         miss_now = alive & ~hit.valid

@@ -99,3 +99,64 @@ def test_traversal_under_jit(rng):
     t1 = f(ro, rd)
     t2 = find_closest_bruteforce(scene, ro, rd).t
     assert np.allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
+
+
+def test_wide_matches_bruteforce(rng):
+    """BVH4 collapse + ordered stack traversal vs brute-force oracle."""
+    from raypt.accel import collapse
+    scene = _scene(rng, ntri=200, nsph=5)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    w = collapse(bvh, scene.mesh.positions, scene.mesh.faces,
+                 scene.mesh.face_valid)
+    from raypt.accel import find_closest_wide
+    ro, rd = _rays(rng, 1024)
+    a = find_closest_bruteforce(scene, ro, rd)
+    for tile in (0, 256):
+        c = find_closest_wide(scene, w, ro, rd, tile=tile)
+        assert np.allclose(np.asarray(a.t), np.asarray(c.t),
+                           rtol=1e-4, atol=1e-4)
+        assert np.array_equal(np.asarray(a.sphere), np.asarray(c.sphere))
+
+
+def test_wide_small_scene(rng):
+    """Scene smaller than one leaf block (root is a cut node)."""
+    from raypt.accel import collapse, find_closest_wide
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef())
+    b.add_triangle((-1, -1, -3), (1, -1, -3), (0, 1, -3), m0)
+    b.add_triangle((-1, -1, -5), (1, -1, -5), (0, 1, -5), m0)
+    scene = b.freeze()
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    w = collapse(bvh, scene.mesh.positions, scene.mesh.faces,
+                 scene.mesh.face_valid)
+    ro = jnp.array([[0.0, 0.0, 0.0]])
+    rd = jnp.array([[0.0, 0.0, -1.0]])
+    ids = find_closest_wide(scene, w, ro, rd)
+    assert int(ids.tri[0]) == 0 and abs(float(ids.t[0]) - 3.0) < 1e-5
+
+
+def test_wide_packed_agree_on_bunny_slice(rng):
+    """Wide and binary-packed backends agree on a real mesh chunk."""
+    from raypt.accel import collapse, find_closest_wide, pack, find_closest_packed
+    from raypt.scenes import bunny_mesh
+    mesh = bunny_mesh()
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef())
+    # subsample for CPU speed
+    b.add_mesh(mesh["positions"], mesh["normals"], mesh["faces"][:4000], material=m0)
+    scene = b.freeze()
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    w = collapse(bvh, scene.mesh.positions, scene.mesh.faces,
+                 scene.mesh.face_valid)
+    p = pack(bvh, scene.mesh.positions, scene.mesh.faces,
+             scene.mesh.face_valid)
+    lo = np.asarray(scene.mesh.positions)[np.asarray(scene.mesh.face_valid).nonzero()[0][:1]].mean()
+    pts = np.asarray(scene.mesh.positions)
+    center = pts[np.isfinite(pts).all(1)].mean(axis=0)
+    ro = jnp.asarray(center + rng.normal(size=(512, 3)) * 0.5, jnp.float32)
+    rd = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+    from raypt.core.math3d import normalize
+    rd = normalize(rd)
+    a = find_closest_packed(scene, p, ro, rd)
+    c = find_closest_wide(scene, w, ro, rd)
+    assert np.allclose(np.asarray(a.t), np.asarray(c.t), rtol=1e-4, atol=1e-4)
