@@ -84,17 +84,22 @@ def pack(bvh: LBVH, positions: jax.Array, faces: jax.Array,
 
 def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
                        t0: jax.Array, active: jax.Array,
-                       max_iters: int | None = None):
+                       max_iters: int | None = None,
+                       unroll: int = 8):
     """Vectorized skip-link walk over a whole wavefront of rays.
 
     ro/rd (R, 3) with rd normalized, t0 (R,) initial best distance
     (seeded with the sphere pass, reference parity), active (R,) bool.
     Returns (t_best (R,), face_id (R,) int32, -1 = none).
 
-    One `lax.while_loop`; every iteration does a single (R, 16) gather
-    + slab test + Moller-Trumbore on the same registers. Rays that are
-    inactive or done sit at node -1 (clamped gather of row 0) and stop
-    contributing to the loop condition.
+    One `lax.while_loop` whose body performs `unroll` traversal steps:
+    each step is a single (R, 16) gather + slab test + Moller-Trumbore
+    on the same registers. Unrolling amortizes the loop's fixed
+    per-iteration cost (condition sync + scheduling; measured ~2-15us
+    on v5e regardless of width) and lets the compiler overlap the
+    gathers of consecutive steps. Rays that are inactive or done sit at
+    node -1 (clamped gather of row 0) and no-op until the whole
+    wavefront finishes its current chunk.
     """
     eps = 1e-8
 
@@ -116,6 +121,11 @@ def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
 
     def body(state):
         node, t_best, face, it = state
+        for _ in range(unroll):
+            node, t_best, face = _step(node, t_best, face)
+        return node, t_best, face, it + jnp.int32(1)
+
+    def _step(node, t_best, face):
         r = rows[jnp.clip(node, 0, None)]          # (R, 16) single gather
         is_leaf = r[:, 14] > 0.5
 
@@ -148,7 +158,7 @@ def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
         nxt_internal = jnp.where(hit_box, ftoi(r[:, 12]), ftoi(r[:, 13]))
         nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_internal)
         node = jnp.where(live, nxt, node)
-        return node, t_best, face, it + jnp.int32(1)
+        return node, t_best, face
 
     _, t_best, face, _ = jax.lax.while_loop(
         cond, body, (node0, t_best0, face0,

@@ -152,7 +152,7 @@ def _traverse_one(bvh: LBVH, p0, p1, p2, face_valid, o, d, t0):
 
 
 def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
-                        tile: int = 0) -> HitIds:
+                        tile: int = 0, unroll: int = 8) -> HitIds:
     """Packed-wavefront closest hit (the fast path): spheres brute-force
     first (reference ordering), then one fused skip-link walk over the
     whole ray wavefront (tile=0) or over `tile`-sized chunks.
@@ -178,14 +178,14 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
             flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
             flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
         t_best, face = jax.lax.map(
-            lambda args: traverse_wavefront(pbvh, *args),
+            lambda args: traverse_wavefront(pbvh, *args, unroll=unroll),
             (flat_o.reshape(-1, tile, 3), flat_d.reshape(-1, tile, 3),
              flat_t.reshape(-1, tile), flat_a.reshape(-1, tile)))
         t_best = t_best.reshape(-1)[:n]
         face = face.reshape(-1)[:n]
     else:
         t_best, face = traverse_wavefront(pbvh, flat_o, flat_d, flat_t,
-                                          flat_a)
+                                          flat_a, unroll=unroll)
     t_best = t_best.reshape(shape)
     face = face.reshape(shape)
     tri_wins = face >= 0

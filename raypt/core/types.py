@@ -210,6 +210,7 @@ class RenderConfig:
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
     backend: str = "auto"     # "bruteforce" | "bvh" | "pallas" | "auto"
     traversal_tile: int = 0   # 0 = one fused wavefront; else rays per tile
+    traversal_unroll: int = 8 # traversal steps per while-loop iteration
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -15,13 +15,24 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str):
+def load_obj(path: str, use_native: bool = True):
     """Parse an OBJ file -> dict with positions (V,3) f32, normals (V,3)
     f32, uvs (V,2) f32, faces (F,3) i64.
 
+    Prefers the native C++ parser (raypt.io.native, ~3x faster on the
+    bunny) when the shared library is available and the file has no
+    vt/vn corner splitting to do; falls back to this pure-Python parser.
     Vertices referenced with differing vt/vn combinations are split, so
     the output is a consistent indexed mesh.
     """
+    if use_native:
+        try:
+            from .native import load_obj_native
+            m = load_obj_native(path)
+            if m is not None:
+                return m
+        except Exception:
+            pass
     positions, normals, uvs = [], [], []
     out_pos, out_nrm, out_uv, out_faces = [], [], [], []
     corner_cache: dict = {}

@@ -55,7 +55,8 @@ def make_finder(scene: Scene, cfg: RenderConfig,
         if isinstance(bvh, WideBVH):
             return partial(_wide_finder, bvh, cfg.traversal_tile)
         if isinstance(bvh, PackedLBVH):
-            return partial(_packed_finder, bvh, cfg.traversal_tile)
+            return partial(_packed_finder, bvh, cfg.traversal_tile,
+                           cfg.traversal_unroll)
         the_bvh = bvh
         if the_bvh is None:
             the_bvh = lbvh_mod.build(scene.mesh.positions,
@@ -67,15 +68,17 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             return partial(_wide_finder, wbvh, cfg.traversal_tile)
         pbvh = pack(the_bvh, scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
-        return partial(_packed_finder, pbvh, cfg.traversal_tile)
+        return partial(_packed_finder, pbvh, cfg.traversal_tile,
+                       cfg.traversal_unroll)
     if backend == "pallas":
         from ..kernels import intersect as pallas_intersect
         return pallas_intersect.make_pallas_finder(scene, cfg, bvh)
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def _packed_finder(pbvh, tile, scene, ro, rd, active=None):
-    return find_closest_packed(scene, pbvh, ro, rd, active=active, tile=tile)
+def _packed_finder(pbvh, tile, unroll, scene, ro, rd, active=None):
+    return find_closest_packed(scene, pbvh, ro, rd, active=active, tile=tile,
+                               unroll=unroll)
 
 
 def _wide_finder(wbvh, tile, scene, ro, rd, active=None):
