@@ -1,6 +1,8 @@
 from .lbvh import LBVH, build, refit, morton3d
 from .packed import PackedLBVH, pack, traverse_wavefront
 from .wide import WideBVH, collapse, traverse_wide
+from .dense import WoopTris, build_woop, closest_dense
 from .traverse import (Hit, HitIds, find_closest_bruteforce,
-                       find_closest_bvh, find_closest_packed,
-                       find_closest_wide, recompute_hit)
+                       find_closest_bvh, find_closest_dense,
+                       find_closest_packed, find_closest_wide,
+                       recompute_hit)

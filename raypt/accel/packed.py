@@ -109,7 +109,7 @@ def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
 
     node0 = jnp.where(active, 0, -1).astype(jnp.int32)
     t_best0 = t0
-    face0 = jnp.full(node0.shape, -1, jnp.int32)
+    face0 = node0 * 0 - 1   # derived from node0: varying-typed under shard_map
     rows = pbvh.rows
 
     def cond(state):

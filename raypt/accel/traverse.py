@@ -63,18 +63,19 @@ class Hit:
 # ---------------------------------------------------------------------------
 
 def _closest_sphere(scene: Scene, ro, rd):
+    """Dense (R, S) sphere pass — fully vectorized broadcast, no vmap
+    (a vmap'd per-ray argmin lowered ~10x slower on TPU)."""
     sp = scene.spheres
-
-    def one_ray(o, d):
-        hit, t = intersect_sphere(o[None, :], d[None, :], sp.center, sp.radius)
-        t = jnp.where(hit & sp.valid, t, BIG)
-        i = jnp.argmin(t)
-        return t[i], jnp.where(t[i] < BIG, i.astype(jnp.int32), -1)
-
-    flat_o = ro.reshape(-1, 3)
-    flat_d = rd.reshape(-1, 3)
-    t, i = jax.vmap(one_ray)(flat_o, flat_d)
-    return t.reshape(ro.shape[:-1]), i.reshape(ro.shape[:-1])
+    flat_o = ro.reshape(-1, 1, 3)
+    flat_d = rd.reshape(-1, 1, 3)
+    hit, t = intersect_sphere(flat_o, flat_d, sp.center[None], sp.radius[None])
+    t = jnp.where(hit & sp.valid[None], t, BIG)          # (R, S)
+    tmin = jnp.min(t, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    imin = jnp.min(jnp.where(t <= tmin[:, None], col, jnp.int32(2 ** 30)),
+                   axis=1)
+    i = jnp.where(tmin < BIG, imin, -1)
+    return tmin.reshape(ro.shape[:-1]), i.reshape(ro.shape[:-1])
 
 
 def _closest_triangle_brute(scene: Scene, ro, rd):
@@ -226,6 +227,28 @@ def find_closest_wide(scene: Scene, wbvh, ro, rd, active=None,
         face = face.reshape(-1)[:n]
     else:
         t_best, face = traverse_wide(wbvh, flat_o, flat_d, flat_t, flat_a)
+    t_best = t_best.reshape(shape)
+    face = face.reshape(shape)
+    tri_wins = face >= 0
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, face, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+def find_closest_dense(scene: Scene, woop, ro, rd, active=None,
+                       ray_tile: int = 2048, tri_chunk: int = 2048) -> HitIds:
+    """MXU-dense closest hit via Woop-transform matmuls (accel.dense) —
+    the fast path for small scenes where T x R pair testing beats
+    traversal. Same contract as the other finders."""
+    from .dense import closest_dense
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    shape = ro.shape[:-1]
+    t_best, face = closest_dense(woop, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                 ts.reshape(-1), active=active,
+                                 ray_tile=ray_tile, tri_chunk=tri_chunk)
     t_best = t_best.reshape(shape)
     face = face.reshape(shape)
     tri_wins = face >= 0

@@ -208,9 +208,10 @@ class RenderConfig:
     exposure: float = 0.5
     russian_roulette: bool = True
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
-    backend: str = "auto"     # "bruteforce" | "bvh" | "pallas" | "auto"
-    traversal_tile: int = 0   # 0 = one fused wavefront; else rays per tile
-    traversal_unroll: int = 8 # traversal steps per while-loop iteration
+    backend: str = "auto"     # bruteforce | dense | bvh | bvh4 | pallas | auto
+    traversal_tile: int = 1024  # rays per traversal loop (0 = one wavefront);
+                                # 512-1024 measured best on TPU v5e
+    traversal_unroll: int = 1   # traversal steps per while-loop iteration
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -97,6 +97,60 @@ def sample_env(env: EnvMap, d: jax.Array) -> jax.Array:
         return _bilinear(env.data, u * w - 0.5, v * h - 0.5, wrap_x=True)
 
 
+def build_env_quads(env: EnvMap):
+    """Precompute the 2x2-texel 'quad table': one row per texel holding
+    its bilinear neighborhood [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] — so
+    a bilinear env sample costs ONE gather instead of four (the TPU
+    gather unit is row-rate-bound; this cut env sampling ~4x).
+
+    Returns (quads (F*H*W, 12), (H, W)) with F = 6 for cubemaps, 1 for
+    equirect (x-wrapped)."""
+    data = env.data if env.is_cube else env.data[None]
+    f, h, w = data.shape[0], data.shape[1], data.shape[2]
+    xs1 = jnp.minimum(jnp.arange(w) + 1, w - 1)
+    if not env.is_cube:
+        xs1 = jnp.mod(jnp.arange(w) + 1, w)
+    ys1 = jnp.minimum(jnp.arange(h) + 1, h - 1)
+    t00 = data
+    t01 = data[:, :, xs1]
+    t10 = data[:, ys1]
+    t11 = data[:, ys1][:, :, xs1]
+    quads = jnp.concatenate([t00, t01, t10, t11], axis=-1)   # (F,H,W,12)
+    return quads.reshape(f * h * w, 12), (h, w)
+
+
+def sample_env_quads(env: EnvMap, quads, hw, d: jax.Array) -> jax.Array:
+    """Bilinear env sample via the quad table (one gather per ray)."""
+    h, w = hw
+    if env.is_cube:
+        face, s, t = _cube_faceuv(d)
+        x = s * w - 0.5
+        y = t * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        idx = (face * h + y0i) * w + x0i
+    else:
+        x_, y_, z_ = d[..., 0], d[..., 1], d[..., 2]
+        u = jnp.arctan2(x_, -z_) / (2.0 * jnp.pi) + 0.5
+        v = jnp.arccos(jnp.clip(y_, -1.0, 1.0)) / jnp.pi
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        idx = y0i * w + x0i
+    q = quads[idx]                                           # (..., 12)
+    a, bq, c, e = q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12]
+    return (a * (1 - fx) + bq * fx) * (1 - fy) + (c * (1 - fx) + e * fx) * fy
+
+
 def rotate_y_pi(d: jax.Array) -> jax.Array:
     """quat(vec3(0, PI, 0)) * d == (-x, y, -z): the reference rotates the
     env lookup 180 degrees about Y (main_raytracing.cu:151)."""

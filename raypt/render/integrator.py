@@ -46,10 +46,27 @@ def make_finder(scene: Scene, cfg: RenderConfig,
     (or buildable and the mesh is nontrivial), else brute force."""
     backend = cfg.backend
     if backend == "auto":
-        backend = "bvh" if (bvh is not None or scene.mesh.num_faces >= 64) else "bruteforce"
+        from ..accel.dense import WoopTris
+        from ..accel.packed import PackedLBVH
+        from ..accel.wide import WideBVH
+        if isinstance(bvh, WoopTris):
+            backend = "dense"
+        elif isinstance(bvh, (PackedLBVH, WideBVH, lbvh_mod.LBVH)):
+            backend = "bvh"
+        elif scene.mesh.num_faces <= 8192:
+            backend = "dense" if scene.mesh.num_faces >= 64 else "bruteforce"
+        else:
+            backend = "bvh"
     if backend == "bruteforce":
         return find_closest_bruteforce
-    if backend in ("bvh", "bvh2"):
+    if backend == "dense":
+        from ..accel.dense import WoopTris, build_woop
+        woop = bvh if isinstance(bvh, WoopTris) else build_woop(
+            scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+        return partial(_dense_finder, woop)
+    if backend in ("bvh", "bvh2", "bvh4"):
+        # "bvh"/"bvh2": binary packed skip-link walk (fastest measured);
+        # "bvh4": wide ordered-stack variant
         from ..accel.packed import PackedLBVH, pack
         from ..accel.wide import WideBVH, collapse
         if isinstance(bvh, WideBVH):
@@ -62,7 +79,7 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             the_bvh = lbvh_mod.build(scene.mesh.positions,
                                      scene.mesh.faces,
                                      scene.mesh.face_valid)
-        if backend == "bvh":
+        if backend == "bvh4":
             wbvh = collapse(the_bvh, scene.mesh.positions, scene.mesh.faces,
                             scene.mesh.face_valid)
             return partial(_wide_finder, wbvh, cfg.traversal_tile)
@@ -81,6 +98,11 @@ def _packed_finder(pbvh, tile, unroll, scene, ro, rd, active=None):
                                unroll=unroll)
 
 
+def _dense_finder(woop, scene, ro, rd, active=None):
+    from ..accel.traverse import find_closest_dense
+    return find_closest_dense(scene, woop, ro, rd, active=active)
+
+
 def _wide_finder(wbvh, tile, scene, ro, rd, active=None):
     from ..accel.traverse import find_closest_wide
     return find_closest_wide(scene, wbvh, ro, rd, active=active, tile=tile)
@@ -96,23 +118,29 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
 
     Faithful restatement of ray_color (main_raytracing.cu:111-160) with
     break -> mask."""
+    from .envmap import build_env_quads, sample_env_quads
+    from .shading import build_shade_tables, recompute_hit_packed
     rd = normalize(rd)
+    # one gather-minimal shading table + env quad table per render
+    # (differentiable assembly at F-scale instead of scattered gathers
+    # at R-scale)
+    tables = build_shade_tables(scene)
+    env_quads, env_hw = build_env_quads(scene.env)
 
     def bounce(carry, b):
         ro, rd, throughput, radiance, alive = carry
         u = bounce_uniforms(skey, b, pixel_ids)
 
         ids = finder(scene, ro, rd, active=alive)
-        hit = recompute_hit(scene, ro, rd, ids)
+        hit, mp = recompute_hit_packed(tables, ro, rd, ids)
         hit_now = alive & hit.valid
         miss_now = alive & ~hit.valid
 
-        mats = scene.materials
-        albedo = mats.albedo[hit.mat_id]
-        emissive = mats.emissive[hit.mat_id]
-        specular = mats.specular[hit.mat_id]
-        roughness = mats.roughness[hit.mat_id]
-        spec_pct = mats.specular_percent[hit.mat_id]
+        albedo = mp[..., 0:3]
+        emissive = mp[..., 3:6]
+        specular = mp[..., 6:9]
+        roughness = mp[..., 9]
+        spec_pct = mp[..., 10]
 
         do_spec = (u[..., 0] < spec_pct).astype(jnp.float32)[..., None]
 
@@ -143,8 +171,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
             throughput = throughput * boost[..., None]
             alive = alive & ~die
 
-        env = sample_env(scene.env,
-                         rotate_y_pi(rd) if cfg.env_yaw_pi else rd)
+        env = sample_env_quads(scene.env, env_quads, env_hw,
+                               rotate_y_pi(rd) if cfg.env_yaw_pi else rd)
         env = jnp.clip(env, 0.0, cfg.env_radiance_clamp)
         radiance = radiance + jnp.where(miss_now[..., None],
                                         throughput * env, 0.0)

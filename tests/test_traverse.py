@@ -160,3 +160,37 @@ def test_wide_packed_agree_on_bunny_slice(rng):
     a = find_closest_packed(scene, p, ro, rd)
     c = find_closest_wide(scene, w, ro, rd)
     assert np.allclose(np.asarray(a.t), np.asarray(c.t), rtol=1e-4, atol=1e-4)
+
+
+def test_dense_matches_bruteforce(rng):
+    """MXU-dense Woop-transform intersector vs brute-force oracle."""
+    from raypt.accel import build_woop, find_closest_dense
+    scene = _scene(rng, ntri=150, nsph=4)
+    woop = build_woop(scene.mesh.positions, scene.mesh.faces,
+                      scene.mesh.face_valid)
+    ro, rd = _rays(rng, 1024)
+    a = find_closest_bruteforce(scene, ro, rd)
+    c = find_closest_dense(scene, woop, ro, rd, ray_tile=512, tri_chunk=64)
+    assert np.allclose(np.asarray(a.t), np.asarray(c.t), rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(a.sphere), np.asarray(c.sphere))
+    same = np.asarray(a.tri) == np.asarray(c.tri)
+    assert (same | np.isclose(np.asarray(a.t), np.asarray(c.t),
+                              rtol=1e-6)).all()
+
+
+def test_dense_backend_renders(rng):
+    from raypt.core.types import EnvMap, RenderConfig
+    from raypt.render import render_frame
+    b = SceneBuilder(env=EnvMap.constant((0.4, 0.5, 0.6)))
+    m0 = b.add_material(MaterialDef(albedo=(0.6, 0.6, 0.6)))
+    for _ in range(30):
+        base = rng.uniform(-3, 3, 3) - [0, 0, 5]
+        b.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                       base + rng.uniform(-1, 1, 3), m0)
+    scene = b.freeze()
+    cfg_d = RenderConfig(width=24, height=24, samples_per_pixel=1,
+                         num_bounces=3, backend="dense")
+    cfg_b = cfg_d.replace(backend="bruteforce")
+    ia = render_frame(scene, cfg_d, jax.random.key(0))
+    ib = render_frame(scene, cfg_b, jax.random.key(0))
+    assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
