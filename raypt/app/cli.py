@@ -19,7 +19,7 @@ import time
 
 def _build_scene(name: str, size, obj: str | None):
     from ..scenes import (cornell_box, cornell_box_with_bunny,
-                          stanford_bunny, triangle_ground)
+                          stanford_bunny, textured_demo, triangle_ground)
     from ..core.scene import MaterialDef, SceneBuilder
     from ..scenes.builtin import load_reference_envmap
 
@@ -31,6 +31,8 @@ def _build_scene(name: str, size, obj: str | None):
         b = cornell_box_with_bunny()
     elif name == "triangle":
         b = triangle_ground()
+    elif name == "textured":
+        b = textured_demo()
     elif name == "obj":
         if not obj:
             raise SystemExit("--obj PATH required for --scene obj")
@@ -153,14 +155,14 @@ def main(argv=None):
     pr = sub.add_parser("render", help="progressive render to PNG")
     pr.add_argument("--scene", default="cornell_bunny",
                     choices=["cornell", "bunny", "cornell_bunny", "triangle",
-                             "obj"])
+                             "textured", "obj"])
     pr.add_argument("--obj", default=None, help="OBJ path for --scene obj")
     pr.add_argument("--size", type=int, default=512)
     pr.add_argument("--spp", type=int, default=5)
     pr.add_argument("--bounces", type=int, default=6)
     pr.add_argument("--frames", type=int, default=1)
     pr.add_argument("--backend", default="auto",
-                    choices=["auto", "bvh", "bruteforce", "pallas"])
+                    choices=["auto", "bvh", "bvh2", "bvh4", "dense", "bruteforce", "pallas"])
     pr.add_argument("--exposure", type=float, default=0.5)
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--checkpoint", default=None)

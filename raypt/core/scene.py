@@ -48,13 +48,14 @@ class MaterialDef:
     """Host material record (reference Material, Scene.h:74-85)."""
 
     def __init__(self, albedo=(0, 0, 0), emissive=(0, 0, 0), specular=(0, 0, 0),
-                 roughness=0.9, specular_percent=0.0, ior=1.0):
+                 roughness=0.9, specular_percent=0.0, ior=1.0, texture=-1):
         self.albedo = tuple(map(float, albedo))
         self.emissive = tuple(map(float, emissive))
         self.specular = tuple(map(float, specular))
         self.roughness = float(roughness)
         self.specular_percent = float(specular_percent)
         self.ior = float(ior)
+        self.texture = int(texture)
 
 
 class SceneBuilder:
@@ -66,6 +67,7 @@ class SceneBuilder:
         self._normals: list = []
         self._uvs: list = []
         self._faces: list = []                   # (v0, v1, v2, material)
+        self._textures: list = []                # (H, W, 3) float arrays
         self.env = env if env is not None else EnvMap.constant()
         self.dirty = DirtyFlag.SAMPLES | DirtyFlag.SCENE_MEMORY | DirtyFlag.BVH
 
@@ -74,6 +76,17 @@ class SceneBuilder:
         self._materials.append(material)
         self.dirty |= DirtyFlag.SCENE_MEMORY
         return len(self._materials) - 1
+
+    def add_texture(self, image) -> int:
+        """Register an albedo texture (H, W, 3) float [0,1]; all
+        textures in a scene must share one resolution (stacked array).
+        Returns the texture id for MaterialDef(texture=...)."""
+        img = np.asarray(image, np.float32)
+        if self._textures and img.shape != self._textures[0].shape:
+            raise ValueError("all textures must share one resolution")
+        self._textures.append(img)
+        self.dirty |= DirtyFlag.SCENE_MEMORY
+        return len(self._textures) - 1
 
     def add_sphere(self, center, radius: float, material: int = 0) -> None:
         self._spheres.append((tuple(map(float, center)), float(radius), int(material)))
@@ -147,6 +160,8 @@ class SceneBuilder:
                 roughness=_fill((cm,), [m.roughness for m in self._materials], 0.9),
                 specular_percent=_fill((cm,), [m.specular_percent for m in self._materials], 0.0),
                 ior=_fill((cm,), [m.ior for m in self._materials], 1.0),
+                texture=_fill((cm,), [m.texture for m in self._materials], -1,
+                              np.int32),
             )
 
         spheres = Spheres(
@@ -165,9 +180,12 @@ class SceneBuilder:
             face_valid=jnp.asarray(np.arange(cf) < nface),
         )
 
+        textures = (jnp.asarray(np.stack(self._textures))
+                    if self._textures else None)
         self.dirty &= ~(DirtyFlag.SCENE_MEMORY | DirtyFlag.BVH)
         return Scene(materials=mats, spheres=spheres, mesh=mesh,
-                     env=self.env, camera=self.camera.rays())
+                     env=self.env, camera=self.camera.rays(),
+                     textures=textures)
 
     # -- stats ---------------------------------------------------------------
     @property

@@ -37,6 +37,9 @@ class Materials:
     roughness: jax.Array         # (M,)  f32, default 0.9
     specular_percent: jax.Array  # (M,)  f32, default 0.0
     ior: jax.Array               # (M,)  f32, default 1.0 (unused by kernel)
+    texture: jax.Array           # (M,)  i32 albedo texture id, -1 = none
+                                 # (capability upgrade: the reference has
+                                 # no material textures, GPUScene.h:66-74)
 
     @staticmethod
     def empty(capacity: int = 0) -> "Materials":
@@ -48,6 +51,7 @@ class Materials:
             roughness=jnp.full((capacity,), 0.9, jnp.float32),
             specular_percent=z1,
             ior=jnp.ones((capacity,), jnp.float32),
+            texture=jnp.full((capacity,), -1, jnp.int32),
         )
 
     @property
@@ -180,6 +184,7 @@ class Scene:
     mesh: MeshArrays
     env: EnvMap
     camera: CameraRays
+    textures: Optional[jax.Array] = None  # (K, TH, TW, 3) albedo stack
 
     @property
     def shapes_signature(self) -> tuple:

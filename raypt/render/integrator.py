@@ -141,6 +141,11 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
         specular = mp[..., 6:9]
         roughness = mp[..., 9]
         spec_pct = mp[..., 10]
+        if scene.textures is not None:
+            from .shading import sample_albedo_texture
+            tex_id = jnp.round(mp[..., 11]).astype(jnp.int32)
+            albedo = albedo * sample_albedo_texture(scene.textures, tex_id,
+                                                    hit.uv)
 
         do_spec = (u[..., 0] < spec_pct).astype(jnp.float32)[..., None]
 
@@ -217,16 +222,38 @@ def camera_rays_for_ids(scene: Scene, cfg: RenderConfig,
     return scene.camera.get_ray(u, v)
 
 
+def _block_order(ids: jax.Array, block: int = 32):
+    """Reorder an (H, W) grid into block-major order so consecutive rays
+    (= traversal-tile lanes) are spatially coherent; returns (flat_ids,
+    unshuffle) where unshuffle restores (H, W) layout. Falls back to
+    scanline order when the grid doesn't tile evenly."""
+    h, w = ids.shape
+    if h % block or w % block:
+        return ids, lambda x: x
+    blocked = ids.reshape(h // block, block, w // block, block)
+    flat = blocked.transpose(0, 2, 1, 3).reshape(h, w)
+
+    def unshuffle(x):
+        y = x.reshape((h // block, w // block, block, block) + x.shape[2:])
+        return y.transpose(0, 2, 1, 3, *range(4, y.ndim)).reshape(x.shape)
+
+    return flat, unshuffle
+
+
 def render_sample(scene: Scene, cfg: RenderConfig, skey: jax.Array,
                   finder: Finder,
                   pixel_ids: Optional[jax.Array] = None) -> jax.Array:
     """One sample-per-pixel pass -> (*ids, 3) radiance (full (H, W)
     grid when pixel_ids is None)."""
+    unshuffle = None
     if pixel_ids is None:
-        pixel_ids = pixel_id_grid(cfg)
+        pixel_ids, unshuffle = _block_order(pixel_id_grid(cfg))
     jitter = sample_jitter(skey, pixel_ids)
     ro, rd = camera_rays_for_ids(scene, cfg, pixel_ids, jitter)
-    return trace_paths(scene, cfg, skey, ro, rd, finder, pixel_ids)
+    out = trace_paths(scene, cfg, skey, ro, rd, finder, pixel_ids)
+    if unshuffle is not None:
+        out = unshuffle(out)
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "finder"))

@@ -71,7 +71,7 @@ def build_shade_tables(scene: Scene) -> ShadeTables:
     mats = jnp.concatenate([
         mt.albedo, mt.emissive, mt.specular,
         mt.roughness[:, None], mt.specular_percent[:, None],
-        jnp.zeros((mt.capacity, 1), jnp.float32)], axis=-1)  # (M, 12)
+        mt.texture.astype(jnp.float32)[:, None]], axis=-1)  # (M, 12)
 
     sp = scene.spheres
     sph = jnp.concatenate([
@@ -147,3 +147,29 @@ def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
     hit = Hit(valid=valid, t=t, position=pos, normal=normal, uv=uv,
               mat_id=mat_id)
     return hit, matprops
+
+
+def sample_albedo_texture(textures: jax.Array, tex_id: jax.Array,
+                          uv: jax.Array) -> jax.Array:
+    """Bilinear sample of the albedo texture stack (K, TH, TW, 3) at hit
+    uv (wrap addressing); tex_id < 0 -> 1.0 (untextured). Capability
+    upgrade over the reference (its materials carry no textures)."""
+    th, tw = textures.shape[1], textures.shape[2]
+    k = textures.shape[0]
+    x = uv[..., 0] * tw - 0.5
+    y = (1.0 - uv[..., 1]) * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    x1i = jnp.mod(x0i + 1, tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    y1i = jnp.mod(y0i + 1, th)
+    ti = jnp.clip(tex_id, 0, k - 1)
+    a = textures[ti, y0i, x0i]
+    b = textures[ti, y0i, x1i]
+    c = textures[ti, y1i, x0i]
+    d = textures[ti, y1i, x1i]
+    rgb = (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+    return jnp.where((tex_id >= 0)[..., None], rgb, 1.0)

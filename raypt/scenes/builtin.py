@@ -232,3 +232,58 @@ def cornell_box_with_bunny() -> SceneBuilder:
     (CUDARayTracer ctor, RayTracing.cpp:24-25)."""
     b = cornell_box()
     return stanford_bunny(b)
+
+
+def textured_demo(checker_res: int = 64) -> SceneBuilder:
+    """BASELINE config #4 scene: multiple meshes + albedo textures +
+    (equirect-capable) HDR environment light. Procedural content so it
+    needs no external assets."""
+    import jax.numpy as jnp
+    # HDR gradient sky as an equirect panorama
+    h, w = 64, 128
+    ys = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    sky = ((1 - ys) * np.array([2.5, 3.0, 4.0], np.float32)
+           + ys * np.array([0.4, 0.3, 0.25], np.float32))
+    env = EnvMap(data=jnp.asarray(np.broadcast_to(sky, (h, w, 3)).copy()),
+                 is_cube=False)
+    b = SceneBuilder(env=env)
+
+    check = (np.indices((checker_res, checker_res)).sum(0) // 8 % 2
+             ).astype(np.float32)
+    tex_checker = np.stack([check, check * 0.6 + 0.2, 1.0 - check], -1)
+    tid = b.add_texture(tex_checker)
+    floor_mat = b.add_material(MaterialDef(albedo=(0.9, 0.9, 0.9),
+                                           texture=tid))
+    # textured ground (uv-mapped via add_mesh)
+    g = 12.0
+    pos = np.array([[-g, -1, g], [g, -1, g], [g, -1, -g], [-g, -1, -g]],
+                   np.float32)
+    nrm = np.tile([[0, 1, 0]], (4, 1)).astype(np.float32)
+    uv = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], np.float32)
+    b.add_mesh(pos, nrm, np.array([[0, 1, 2], [0, 2, 3]]), uvs=uv,
+               material=floor_mat)
+
+    # mesh 2: icosphere, glossy
+    ico = _icosphere(2)
+    m2 = b.add_material(MaterialDef(albedo=(0.9, 0.6, 0.3),
+                                    specular=(0.9, 0.9, 0.9),
+                                    specular_percent=0.4, roughness=0.15))
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = (-1.5, 0.2, -5)
+    b.add_mesh(ico["positions"], ico["normals"], ico["faces"], transform=t,
+               material=m2)
+
+    # mesh 3: second icosphere, diffuse
+    m3 = b.add_material(MaterialDef(albedo=(0.3, 0.5, 0.9)))
+    t2 = np.eye(4, dtype=np.float32) * 0.7
+    t2[3, 3] = 1.0
+    t2[:3, 3] = (1.6, -0.3, -4.2)
+    b.add_mesh(ico["positions"], ico["normals"], ico["faces"], transform=t2,
+               material=m3)
+
+    # emissive sphere light
+    light = b.add_material(MaterialDef(albedo=(0, 0, 0),
+                                       emissive=(12.0, 11.0, 9.0)))
+    b.add_sphere((0, 4.0, -4), 0.8, light)
+    b.camera.position = (0, 0.6, 1.5)
+    return b
