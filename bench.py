@@ -35,6 +35,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the fwd+bwd program takes minutes to
+    # compile via the remote toolchain; cache hits make re-runs instant
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/raypt_xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from raypt.accel import build
     from raypt.core.types import RenderConfig
     from raypt.render.integrator import make_finder, render_sample

@@ -11,9 +11,9 @@ decodes that we can reasonably need on TPU:
   * D3DFMT 113 (A16B16G16R16F)
   * 32-bit RGBA/BGRA uint8 (with sRGB option left to the caller)
   * DX10 DXGI float/unorm variants of the above
-Block-compressed (BC1-7) textures are rejected with a clear error —
-the reference decodes those in texture hardware (CUDATexture.cpp:30-66);
-on TPU we require uncompressed sources.
+  * BC1/BC2/BC3 (DXT1/3/5) via software decode (`_decode_bc`) — the
+    reference decodes these in texture hardware (CUDATexture.cpp:30-66)
+BC4-7 are rejected with a clear error.
 """
 from __future__ import annotations
 
@@ -27,6 +27,7 @@ DDPF_FOURCC = 0x4
 DDPF_RGB = 0x40
 
 _FOURCC_D3D = {113: ("f2", 4), 116: ("f4", 4)}  # D3DFMT -> (numpy kind, channels)
+_FOURCC_BC = {b"DXT1": "bc1", b"DXT3": "bc2", b"DXT5": "bc3"}
 _DXGI = {
     2: ("f4", 4),    # R32G32B32A32_FLOAT
     10: ("f2", 4),   # R16G16B16A16_FLOAT
@@ -35,6 +36,79 @@ _DXGI = {
     87: ("u1b", 4),  # B8G8R8A8_UNORM
     91: ("u1b", 4),  # B8G8R8A8_UNORM_SRGB
 }
+_DXGI_BC = {71: "bc1", 72: "bc1", 74: "bc2", 75: "bc2", 77: "bc3",
+            78: "bc3"}
+
+
+def _decode_bc_colors(c0: np.ndarray, c1: np.ndarray, idx: np.ndarray,
+                      opaque_only: bool):
+    """Shared BC color-endpoint decode. c0/c1 (N,) uint16 RGB565,
+    idx (N, 16) 2-bit selectors -> (N, 16, 4) float RGBA."""
+    def rgb565(c):
+        r = ((c >> 11) & 0x1F).astype(np.float32) / 31.0
+        g = ((c >> 5) & 0x3F).astype(np.float32) / 63.0
+        b = (c & 0x1F).astype(np.float32) / 31.0
+        return np.stack([r, g, b], -1)
+
+    p0 = rgb565(c0)
+    p1 = rgb565(c1)
+    four = opaque_only | (c0 > c1)          # 4-color mode
+    p2 = np.where(four[:, None], (2 * p0 + p1) / 3, (p0 + p1) / 2)
+    p3 = np.where(four[:, None], (p0 + 2 * p1) / 3, 0.0)
+    palette = np.stack([p0, p1, p2, p3], axis=1)        # (N, 4, 3)
+    rgb = np.take_along_axis(palette[:, :, None, :],
+                             idx[:, None, :, None].astype(np.int64),
+                             axis=1)[:, 0]              # (N, 16, 3)
+    a3 = np.where(four[:, None] | (idx != 3), 1.0, 0.0)  # BC1 1-bit alpha
+    return np.concatenate([rgb, a3[..., None]], -1)
+
+
+def _decode_bc(data: bytes, w: int, h: int, kind: str) -> np.ndarray:
+    """Software decode of BC1/BC2/BC3 blocks -> (h, w, 4) float32.
+    Behavioural replacement for the reference's hardware decode of
+    BC formats (utils/CUDATexture.cpp:30-66)."""
+    bw, bh = -(-w // 4), -(-h // 4)
+    n = bw * bh
+    blk = 8 if kind == "bc1" else 16
+    raw = np.frombuffer(data[: n * blk], np.uint8).reshape(n, blk)
+    coff = 0 if kind == "bc1" else 8
+    c0 = raw[:, coff:coff + 2].view("<u2")[:, 0]
+    c1 = raw[:, coff + 2:coff + 4].view("<u2")[:, 0]
+    bits = raw[:, coff + 4:coff + 8].view("<u4")[:, 0]
+    sel = ((bits[:, None] >> (2 * np.arange(16, dtype=np.uint32)[None, :]))
+           & 3).astype(np.uint8)
+    px = _decode_bc_colors(c0, c1, sel, opaque_only=(kind != "bc1"))
+
+    if kind == "bc2":  # explicit 4-bit alpha
+        a16 = raw[:, 0:8].view("<u8")[:, 0]
+        av = ((a16[:, None] >> (4 * np.arange(16, dtype=np.uint64)[None, :]))
+              & 0xF).astype(np.float32) / 15.0
+        px[..., 3] = av
+    elif kind == "bc3":  # interpolated alpha
+        a0 = raw[:, 0].astype(np.float32) / 255.0
+        a1 = raw[:, 1].astype(np.float32) / 255.0
+        abits = np.zeros(n, np.uint64)
+        for k in range(6):
+            abits |= raw[:, 2 + k].astype(np.uint64) << np.uint64(8 * k)
+        ai = ((abits[:, None] >> (3 * np.arange(16, dtype=np.uint64)[None, :]))
+              & 7).astype(np.int64)
+        pal = np.zeros((n, 8), np.float32)
+        pal[:, 0] = a0
+        pal[:, 1] = a1
+        eight = a0 > a1
+        for k in range(6):
+            pal[:, 2 + k] = np.where(
+                eight, ((6 - k) * a0 + (1 + k) * a1) / 7,
+                0.0)
+        for k in range(4):
+            pal[:, 2 + k] = np.where(eight, pal[:, 2 + k],
+                                     ((4 - k) * a0 + (1 + k) * a1) / 5)
+        pal[:, 6] = np.where(eight, pal[:, 6], 0.0)
+        pal[:, 7] = np.where(eight, pal[:, 7], 1.0)
+        px[..., 3] = np.take_along_axis(pal, ai, axis=1)
+
+    img = px.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(img.reshape(bh * 4, bw * 4, 4)[:h, :w])
 
 
 class DDSError(ValueError):
@@ -69,14 +143,20 @@ def load_dds(path_or_bytes):
         dxgi, dim, misc, array_size, _ = struct.unpack("<5I", raw[128:148])
         offset = 148
         is_cube = is_cube or bool(misc & 0x4)
-        if dxgi not in _DXGI:
-            raise DDSError(f"unsupported DXGI format {dxgi} (BC* needs CPU decode)")
-        kind, ch = _DXGI[dxgi]
+        if dxgi in _DXGI_BC:
+            kind, ch = _DXGI_BC[dxgi], 4
+        elif dxgi in _DXGI:
+            kind, ch = _DXGI[dxgi]
+        else:
+            raise DDSError(f"unsupported DXGI format {dxgi}")
     elif pf_flags & DDPF_FOURCC:
-        code = struct.unpack("<I", fourcc)[0]
-        if code not in _FOURCC_D3D:
-            raise DDSError(f"unsupported FourCC {fourcc!r}/{code}")
-        kind, ch = _FOURCC_D3D[code]
+        if fourcc in _FOURCC_BC:
+            kind, ch = _FOURCC_BC[fourcc], 4
+        else:
+            code = struct.unpack("<I", fourcc)[0]
+            if code not in _FOURCC_D3D:
+                raise DDSError(f"unsupported FourCC {fourcc!r}/{code}")
+            kind, ch = _FOURCC_D3D[code]
     elif pf_flags & DDPF_RGB:
         bitcount = hdr[21]
         if bitcount != 32:
@@ -87,13 +167,21 @@ def load_dds(path_or_bytes):
     else:
         raise DDSError("unsupported pixel format")
 
+    is_bc = kind in ("bc1", "bc2", "bc3")
     bswap = kind == "u1b"
-    npdtype = {"f4": np.float32, "f2": np.float16,
-               "u1": np.uint8, "u1b": np.uint8}[kind]
-    bpp = np.dtype(npdtype).itemsize * ch
+    if is_bc:
+        blk = 8 if kind == "bc1" else 16
+        npdtype = np.float32
 
-    def mip_bytes(w, h):
-        return w * h * bpp
+        def mip_bytes(w, h):
+            return -(-w // 4) * -(-h // 4) * blk
+    else:
+        npdtype = {"f4": np.float32, "f2": np.float16,
+                   "u1": np.uint8, "u1b": np.uint8}[kind]
+        bpp = np.dtype(npdtype).itemsize * ch
+
+        def mip_bytes(w, h):
+            return w * h * bpp
 
     faces = 6 if is_cube else 1
     out = []
@@ -104,8 +192,10 @@ def load_dds(path_or_bytes):
             nbytes = mip_bytes(w, h)
             if m == 0:
                 buf = raw[offset:offset + nbytes]
-                img = np.frombuffer(buf, npdtype).reshape(h, w, ch)
-                face_img = img
+                if is_bc:
+                    face_img = _decode_bc(buf, w, h, kind)
+                else:
+                    face_img = np.frombuffer(buf, npdtype).reshape(h, w, ch)
             offset += nbytes
             w = max(w // 2, 1)
             h = max(h // 2, 1)
@@ -113,7 +203,7 @@ def load_dds(path_or_bytes):
 
     arr = np.stack(out) if is_cube else out[0]
     arr = arr.astype(np.float32)
-    if npdtype == np.uint8:
+    if not is_bc and npdtype == np.uint8:
         arr = arr / 255.0
         if bswap:
             arr = arr[..., [2, 1, 0, 3]]

@@ -118,3 +118,44 @@ def test_pytree_checkpoint(tmp_path):
     assert step == 11
     assert np.allclose(np.asarray(back["a"]), [0, 1, 2])
     assert np.allclose(np.asarray(back["b"]["c"]), 1.0)
+
+
+def _dds_header(w, h, fourcc):
+    import struct
+    hdr = bytearray(128)
+    hdr[0:4] = b"DDS "
+    struct.pack_into("<I", hdr, 4, 124)
+    struct.pack_into("<I", hdr, 8, 0x1007)
+    struct.pack_into("<I", hdr, 12, h)
+    struct.pack_into("<I", hdr, 16, w)
+    struct.pack_into("<I", hdr, 28, 1)
+    struct.pack_into("<I", hdr, 76, 32)
+    struct.pack_into("<I", hdr, 80, 0x4)
+    hdr[84:88] = fourcc
+    return bytes(hdr)
+
+
+def test_dds_bc1_decode():
+    import struct
+    blk = struct.pack("<HHI", 0xF800, 0x001F, 0xAAAAAAAA)  # idx2: 2/3 c0
+    d = load_dds(_dds_header(4, 4, b"DXT1") + blk)
+    img = d["data"]
+    assert img.shape == (4, 4, 4)
+    assert np.allclose(img[..., 0], 2 / 3, atol=0.02)
+    assert np.allclose(img[..., 2], 1 / 3, atol=0.02)
+
+
+def test_dds_bc3_alpha():
+    import struct
+    # color: solid red; alpha: a0=255 a1=0, all indices 0 -> alpha 1
+    ablock = bytes([255, 0, 0, 0, 0, 0, 0, 0])
+    cblock = struct.pack("<HHI", 0xF800, 0xF800, 0)
+    d = load_dds(_dds_header(4, 4, b"DXT5") + ablock + cblock)
+    img = d["data"]
+    assert np.allclose(img[..., 3], 1.0)
+    assert np.allclose(img[..., 0], 1.0, atol=0.02)
+    # alpha indices all 1 -> a1 = 0
+    ablock = bytes([255, 0, 0b01001001, 0b10010010, 0b00100100, 0, 0, 0])
+    d = load_dds(_dds_header(4, 4, b"DXT5") + ablock + cblock)
+    a = d["data"][..., 3].ravel()
+    assert np.allclose(a[:8], 0.0, atol=1e-6)  # first 8 texels index 1
