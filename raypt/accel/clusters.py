@@ -1,0 +1,223 @@
+"""Two-level cluster acceleration: dense-culled, MXU-friendly.
+
+The TPU-native answer to per-ray pointer chasing (SURVEY §7 "Hard
+parts"): instead of walking a deep tree per ray, cut the LBVH into
+morton-contiguous *clusters* of <= LEAF tris and work at two levels:
+
+  1. CULL (VPU, dense): every ray tile (TILE rays) slab-tests ALL
+     cluster boxes at once — a (TILE, C) elementwise pass with zero
+     gathers — and reduces to a per-tile *worklist* of clusters any of
+     its rays may hit, nearest-first.
+  2. INTERSECT (Pallas/MXU): per tile, loop worklist entries; each
+     entry scalar-indexes the cluster's packed triangle block out of a
+     VMEM-resident table ((C, LEAF*12) fits: bunny = 1086 x 768 f32 =
+     3.3 MB) and tests all TILE rays x LEAF tris densely (Woop form).
+     Extra tests for rays that didn't want a cluster are free min-work,
+     so no per-ray candidate bookkeeping is needed.
+
+Correctness does not depend on the worklist order or on per-ray
+pruning: the worklist contains every cluster hit by any ray of the
+tile (up to WORKLIST_CAP, asserted >= the max a tile can see), and the
+final t is a min over all tested triangles.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.math3d import BIG
+from .lbvh import LBVH
+
+CLUSTER_LEAF = 64       # max triangles per cluster
+WORKLIST_CAP = 192      # max clusters a single ray tile may touch
+
+
+@struct.dataclass
+class Clusters:
+    bmin: jax.Array       # (C, 3) cluster bounds
+    bmax: jax.Array       # (C, 3)
+    tri_rows: jax.Array   # (C, LEAF, 12) [p0, e1, e2, fid, pad, pad]
+    valid: jax.Array      # (C,) bool (padded cluster slots)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.bmin.shape[0]
+
+
+def build_clusters(bvh: LBVH, positions: jax.Array, faces: jax.Array,
+                   face_valid: jax.Array,
+                   leaf: int = CLUSTER_LEAF) -> Clusters:
+    """Cut the binary LBVH at subtree size <= leaf into morton-contiguous
+    clusters. Fixed shapes: C_cap = ceil(2 * N / leaf) (a cut node's
+    parent has > leaf tris, so each cut holds > leaf/2 on average;
+    2N/leaf is a safe upper bound... use N // (leaf // 2) + 2)."""
+    positions = jax.lax.stop_gradient(positions)
+    n = bvh.num_leaves
+    ni = n - 1
+    total = 2 * n - 1
+    left = bvh.left
+    l_int = jnp.clip(left, 0, total - 1)
+    right = jnp.where(left >= 0, bvh.skip[l_int], -1)
+    r_int = jnp.clip(right, 0, total - 1)
+    is_leaf_bin = jnp.arange(total) >= ni
+
+    parent = jnp.full((total,), -1, jnp.int32)
+    parent = parent.at[l_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
+    parent = parent.at[r_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
+
+    counts = jnp.where(is_leaf_bin, 1, 0).astype(jnp.int32)
+    starts = jnp.where(is_leaf_bin, jnp.arange(total) - ni, 0).astype(jnp.int32)
+
+    def up_round(_, cs):
+        c, s = cs
+        ci = c[l_int] + c[r_int]
+        si = jnp.minimum(s[l_int], s[r_int])
+        return (c.at[:ni].set(ci[:ni]), s.at[:ni].set(si[:ni]))
+
+    counts, starts = jax.lax.fori_loop(0, 64, up_round, (counts, starts))
+
+    cut = counts <= leaf
+    cut = cut & (jnp.where(parent >= 0,
+                           counts[jnp.clip(parent, 0, None)],
+                           leaf + 1) > leaf)
+
+    c_cap = max(n // max(leaf // 2, 1) + 2, 8)
+    cluster_id = jnp.cumsum(cut.astype(jnp.int32)) - 1
+    dump = c_cap  # extra slot
+    tgt = jnp.where(cut & (cluster_id < c_cap), cluster_id, dump).astype(
+        jnp.int32)
+
+    bmin = jnp.full((c_cap + 1, 3), BIG, jnp.float32).at[tgt].set(bvh.bmin)
+    bmax = jnp.full((c_cap + 1, 3), -BIG, jnp.float32).at[tgt].set(bvh.bmax)
+    cvalid = jnp.zeros((c_cap + 1,), bool).at[tgt].set(cut)
+
+    # triangle blocks: lf[starts : starts+counts] padded to `leaf`
+    lf = bvh.leaf_face
+    slot = starts[:, None] + jnp.arange(leaf)[None, :]
+    slot_ok = (jnp.arange(leaf)[None, :] < counts[:, None]) & cut[:, None]
+    tri_ids = jnp.where(slot_ok, lf[jnp.clip(slot, 0, n - 1)], 0)
+    fvalid = slot_ok & face_valid[tri_ids]
+    p0 = positions[faces[tri_ids, 0]]
+    p1 = positions[faces[tri_ids, 1]]
+    p2 = positions[faces[tri_ids, 2]]
+    e1 = jnp.where(fvalid[..., None], p1 - p0, 0.0)
+    e2 = jnp.where(fvalid[..., None], p2 - p0, 0.0)
+    fid_f = jax.lax.bitcast_convert_type(tri_ids.astype(jnp.int32),
+                                         jnp.float32)
+    rows = jnp.concatenate([
+        jnp.where(fvalid[..., None], p0, 0.0), e1, e2, fid_f[..., None],
+        jnp.zeros(p0.shape[:-1] + (2,), jnp.float32)], axis=-1)
+    tri_rows = jnp.zeros((c_cap + 1, leaf, 12), jnp.float32).at[tgt].set(rows)
+
+    return Clusters(bmin=bmin[:c_cap], bmax=bmax[:c_cap],
+                    tri_rows=tri_rows[:c_cap], valid=cvalid[:c_cap])
+
+
+def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,
+                   t0: jax.Array, tile: int,
+                   cap: int = WORKLIST_CAP):
+    """Dense cull: rays (R, 3) grouped in `tile`-sized tiles (R divisible
+    by tile) -> per-tile worklists.
+
+    Returns (worklist (n_tiles, cap) i32 cluster ids [-1 pad],
+             counts (n_tiles,) i32, overflow (n_tiles,) bool).
+    Worklist is ordered by the tile's min entry distance (nearest
+    first) so phase 2 shrinks t_best quickly."""
+    r = ro.shape[0]
+    n_tiles = r // tile
+    c = clusters.num_clusters
+
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv_all = 1.0 / safe
+
+    def one_group(args):
+        o_g, inv_g, t0_g = args            # (G*tile, 3), ..., (G*tile,)
+        g = o_g.shape[0] // tile
+        # accumulate the slab test per axis: intermediates stay (N, C)
+        tn = jnp.full((o_g.shape[0], c), -jnp.inf)
+        tf = jnp.full((o_g.shape[0], c), jnp.inf)
+        for k in range(3):
+            t1 = (clusters.bmin[None, :, k] - o_g[:, k:k + 1]) * inv_g[:, k:k + 1]
+            t2 = (clusters.bmax[None, :, k] - o_g[:, k:k + 1]) * inv_g[:, k:k + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        hit = ((tf >= tn) & (tf > 0.0) & (tn < t0_g[:, None])
+               & clusters.valid[None, :])
+        hit_t = hit.reshape(g, tile, c)
+        tile_hit = jnp.any(hit_t, axis=1)                      # (G, C)
+        tnc = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf).reshape(g, tile, c)
+        tile_tn = jnp.min(tnc, axis=1)                         # (G, C)
+        order = jnp.argsort(tile_tn, axis=1)
+        counts_g = jnp.sum(tile_hit, axis=1).astype(jnp.int32)
+        k2 = min(c, cap)
+        wl = jnp.where(jnp.arange(k2)[None, :] < jnp.minimum(counts_g, k2)[:, None],
+                       order[:, :k2].astype(jnp.int32), -1)
+        if k2 < cap:
+            wl = jnp.concatenate(
+                [wl, jnp.full((g, cap - k2), -1, jnp.int32)], axis=1)
+        return wl, counts_g
+
+    # group tiles so each map step works on ~256k ray-cluster pairs
+    group = max(1, min(n_tiles, max(1, (1 << 18) // max(tile, 1) // max(c // 256, 1))))
+    while n_tiles % group:
+        group -= 1
+    o_gs = ro.reshape(n_tiles // group, group * tile, 3)
+    inv_gs = inv_all.reshape(n_tiles // group, group * tile, 3)
+    t0_gs = t0.reshape(n_tiles // group, group * tile)
+    wl, counts = jax.lax.map(one_group, (o_gs, inv_gs, t0_gs))
+    worklist = wl.reshape(n_tiles, cap)
+    counts = counts.reshape(n_tiles)
+    overflow = counts > cap
+    return worklist, jnp.minimum(counts, cap), overflow
+
+
+def intersect_worklist_jnp(clusters: Clusters, worklist, counts,
+                           ro, rd, t0, tile: int):
+    """Reference jnp implementation of phase 2 (correctness oracle and
+    CPU fallback; the TPU path is kernels.cluster_pallas). Scans every
+    worklist slot with masking — O(cap) work, fine for tests."""
+    eps = 1e-8
+    r = ro.shape[0]
+    n_tiles = r // tile
+    o_t = ro.reshape(n_tiles, tile, 3)
+    d_t = rd.reshape(n_tiles, tile, 3)
+    tb0 = t0.reshape(n_tiles, tile)
+    zero_i = (tb0[:, :1] * 0).astype(jnp.int32)
+    f0 = jnp.zeros((n_tiles, tile), jnp.int32) + zero_i - 1
+
+    def slot(carry, w):
+        tb, fb = carry
+        cid = worklist[:, w]                           # (T,)
+        ok_slot = (cid >= 0)
+        rows = clusters.tri_rows[jnp.clip(cid, 0, None)]  # (T, leaf, 12)
+        p0 = rows[..., 0:3][:, None]                   # (T, 1, leaf, 3)
+        e1 = rows[..., 3:6][:, None]
+        e2 = rows[..., 6:9][:, None]
+        fid = jax.lax.bitcast_convert_type(rows[..., 9], jnp.int32)[:, None]
+        o = o_t[:, :, None]                            # (T, tile, 1, 3)
+        d = d_t[:, :, None]
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        ok_det = jnp.abs(det) > eps
+        inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(ok_det, det, 1.0)
+        tvec = o - p0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(d * qvec, axis=-1) * inv_det
+        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        hit = (ok_det & (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t > 0.0)
+               & ok_slot[:, None, None])
+        t = jnp.where(hit, t, jnp.inf)                 # (T, tile, leaf)
+        tmin = jnp.min(t, axis=-1)
+        col = jnp.argmin(t, axis=-1)
+        fmin = jnp.take_along_axis(
+            jnp.broadcast_to(fid, t.shape), col[..., None], axis=-1)[..., 0]
+        better = tmin < tb
+        return (jnp.where(better, tmin, tb),
+                jnp.where(better, fmin, fb)), None
+
+    (tb, fb), _ = jax.lax.scan(slot, (tb0, f0),
+                               jnp.arange(worklist.shape[1]))
+    return tb.reshape(r), fb.reshape(r)

@@ -259,6 +259,59 @@ def find_closest_dense(scene: Scene, woop, ro, rd, active=None,
     )
 
 
+def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
+                         use_pallas: bool = True) -> HitIds:
+    """Two-level dense-culled cluster finder (accel.clusters +
+    kernels.cluster_pallas): per-tile cluster worklists by dense box
+    testing, then dense per-cluster intersection. No per-ray pointer
+    chasing at all."""
+    from .clusters import WORKLIST_CAP, intersect_worklist_jnp, tile_worklists
+    from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    shape = ro.shape[:-1]
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    flat_t = ts.reshape(-1)
+    flat_a = (jnp.ones(flat_t.shape, bool) if active is None
+              else active.reshape(-1))
+    n = flat_o.shape[0]
+    pad = (-n) % (8 * TILE)   # 8-tile groups (Mosaic block constraint)
+    if pad:
+        flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
+        flat_d = jnp.concatenate(
+            [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
+        flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
+        flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
+    # dead rays contribute no clusters and accept no hits
+    seed = jnp.where(flat_a, flat_t, -BIG)
+    wl, cnt, _overflow = tile_worklists(clusters, flat_o, flat_d, seed,
+                                        tile=TILE, cap=WORKLIST_CAP)
+    if use_pallas:
+        rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+        t_best, face = pallas_cluster_intersect(wl, cnt, rows_cm, flat_o,
+                                                flat_d, seed,
+                                                interpret=not _tpu_backend())
+    else:
+        t_best, face = intersect_worklist_jnp(clusters, wl, cnt, flat_o,
+                                              flat_d, seed, tile=TILE)
+    t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
+    face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
+    tri_wins = face >= 0
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, face, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def find_closest_bvh(scene: Scene, bvh: LBVH, ro, rd,
                      tile: int = 4096) -> HitIds:
     """rd must be normalized. Rays are processed in tiles of `tile` so

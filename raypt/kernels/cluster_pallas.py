@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: worklist-driven dense cluster intersection
+(phase 2 of the two-level scheme, accel.clusters).
+
+Per grid step (= one ray tile) the kernel loops the tile's worklist up
+to its dynamic count; each entry scalar-indexes one cluster's packed
+triangle block out of the VMEM-resident table and tests all TILE rays
+against all LEAF triangles with dense VPU broadcasts — no gathers, no
+per-ray control flow. Worklists/counts ride 8-tile VMEM blocks (the
+full arrays exceed the 1 MB SMEM budget, so scalar prefetch is out).
+
+Block layout: tri table (C, 12, LEAF) — component-major so each
+(leaf,)-vector broadcasts against (tile,)-ray vectors as (LEAF, TILE)
+outer ops.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.math3d import BIG
+
+TILE = 256
+BIG_I = 2 ** 30
+
+
+def _kernel(worklist_ref, counts_ref, o_ref, d_ref, t0_ref, rows_ref,
+            t_ref, f_ref):
+    # worklist/counts ride 8-tile VMEM blocks (the full arrays exceed
+    # SMEM, so scalar prefetch is not an option, and Mosaic requires
+    # sublane-divisible block shapes); cid/cnt are scalar VMEM reads
+    # from row (program_id % 8)
+    row = pl.program_id(0) % 8
+    cnt = counts_ref[row, 0]
+    o = o_ref[:]                          # (3, TILE)
+    d = d_ref[:]                          # (3, TILE)
+    eps = 1e-8
+
+    def body(w, carry):
+        tb, fb = carry                    # (1, TILE), (1, TILE)
+        cid = worklist_ref[row, w]
+        blk = rows_ref[cid]               # (12, LEAF)
+
+        def col(k):                       # (LEAF, 1)
+            return blk[k, :][:, None]
+
+        def ray(k):                       # (1, TILE)
+            return d[k, :][None, :]
+
+        def org(k):
+            return o[k, :][None, :]
+
+        p0x, p0y, p0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        dx, dy, dz = ray(0), ray(1), ray(2)
+        ox, oy, oz = org(0), org(1), org(2)
+
+        # pvec = d x e2  -> (LEAF, TILE)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok_det = jnp.abs(det) > eps
+        inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(ok_det, det, 1.0)
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        # qvec = tvec x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+        t = jnp.where(hit, t, BIG)        # (LEAF, TILE)
+
+        tmin = jnp.min(t, axis=0)[None, :]               # (1, TILE)
+        fid = jax.lax.bitcast_convert_type(blk[9, :], jnp.int32)[:, None]
+        lmin = jnp.min(jnp.where(t <= tmin,
+                                 jnp.broadcast_to(fid, t.shape), BIG_I),
+                       axis=0)[None, :]
+        better = tmin < tb
+        return jnp.where(better, tmin, tb), jnp.where(better, lmin, fb)
+
+    t_init = t0_ref[:]                     # (1, TILE)
+    f_init = jnp.full(t_init.shape, -1, jnp.int32)
+    tb, fb = jax.lax.fori_loop(0, cnt, body, (t_init, f_init))
+    t_ref[:] = tb
+    f_ref[:] = fb
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
+                             interpret: bool = False):
+    """worklist (n_tiles, cap) i32, counts (n_tiles,) i32,
+    tri_rows_cm (C, 12, LEAF) f32, ro/rd (R, 3) with R = n_tiles*TILE,
+    t0 (R,). Returns (t_best (R,), face (R,) i32, -1 = miss)."""
+    r = ro.shape[0]
+    n_tiles = worklist.shape[0]
+    assert r == n_tiles * TILE
+    assert n_tiles % 8 == 0, "pad ray count to 8*TILE multiples" 
+
+    o_t = ro.T.reshape(3, r)
+    d_t = rd.T.reshape(3, r)
+    cap = worklist.shape[1]
+
+    t_out, f_out = pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, cap), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri table
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        interpret=interpret,
+    )(worklist, counts.reshape(n_tiles, 1), o_t, d_t,
+      t0.reshape(1, r), tri_rows_cm)
+    return t_out[0], f_out[0]

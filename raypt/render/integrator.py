@@ -64,6 +64,17 @@ def make_finder(scene: Scene, cfg: RenderConfig,
         woop = bvh if isinstance(bvh, WoopTris) else build_woop(
             scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
         return partial(_dense_finder, woop)
+    if backend == "cluster":
+        from ..accel.clusters import Clusters, build_clusters
+        if isinstance(bvh, Clusters):
+            cl = bvh
+        else:
+            the_bvh = bvh if isinstance(bvh, lbvh_mod.LBVH) else \
+                lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
+                               scene.mesh.face_valid)
+            cl = build_clusters(the_bvh, scene.mesh.positions,
+                                scene.mesh.faces, scene.mesh.face_valid)
+        return partial(_cluster_finder, cl)
     if backend in ("bvh", "bvh2", "bvh4"):
         # "bvh"/"bvh2": binary packed skip-link walk (fastest measured);
         # "bvh4": wide ordered-stack variant
@@ -101,6 +112,11 @@ def _packed_finder(pbvh, tile, unroll, scene, ro, rd, active=None):
 def _dense_finder(woop, scene, ro, rd, active=None):
     from ..accel.traverse import find_closest_dense
     return find_closest_dense(scene, woop, ro, rd, active=active)
+
+
+def _cluster_finder(cl, scene, ro, rd, active=None):
+    from ..accel.traverse import find_closest_cluster
+    return find_closest_cluster(scene, cl, ro, rd, active=active)
 
 
 def _wide_finder(wbvh, tile, scene, ro, rd, active=None):

@@ -1,0 +1,32 @@
+import time, jax, numpy as np
+from raypt import RenderConfig
+from raypt.scenes import stanford_bunny
+from raypt.accel import build
+from raypt.accel.clusters import build_clusters
+from raypt.render.integrator import make_finder, render_sample
+from raypt.rng import frame_key, sample_key
+
+b = stanford_bunny()
+b.camera.viewport_width = b.camera.viewport_height = 1024
+scene = b.freeze()
+bvh = jax.jit(build)(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+cl = jax.jit(lambda *a: build_clusters(*a))(bvh, scene.mesh.positions,
+                                            scene.mesh.faces,
+                                            scene.mesh.face_valid)
+jax.block_until_ready(cl.tri_rows)
+print(f"clusters: {cl.num_clusters} (valid {int(cl.valid.sum())}), "
+      f"tri table {cl.tri_rows.shape} = {cl.tri_rows.nbytes/1e6:.1f} MB", flush=True)
+key = jax.random.key(0)
+cfg = RenderConfig(width=1024, height=1024, samples_per_pixel=1, num_bounces=4,
+                   backend="cluster")
+@jax.jit
+def fwd(k):
+    finder = make_finder(scene, cfg, cl)
+    return render_sample(scene, cfg, sample_key(frame_key(k, 0), 0), finder)
+t0 = time.time(); img = fwd(key); jax.block_until_ready(img); c = time.time()-t0
+ts = []
+for i in range(3):
+    t0 = time.time(); img = fwd(jax.random.fold_in(key, i)); jax.block_until_ready(img)
+    ts.append(time.time()-t0)
+dt = min(ts); segs = 1024*1024*4
+print(f"cluster: compile {c:.0f}s run {dt*1000:.0f}ms -> {segs/dt/1e6:.1f} Mray-seg/s mean={float(img.mean()):.4f}", flush=True)

@@ -194,3 +194,34 @@ def test_dense_backend_renders(rng):
     ia = render_frame(scene, cfg_d, jax.random.key(0))
     ib = render_frame(scene, cfg_b, jax.random.key(0))
     assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
+
+
+def test_cluster_matches_bruteforce(rng):
+    """Two-level dense-culled cluster finder vs brute-force oracle
+    (both the jnp phase-2 and the Pallas kernel in interpret mode)."""
+    from raypt.accel.clusters import build_clusters
+    from raypt.accel.traverse import find_closest_cluster
+    scene = _scene(rng, ntri=300, nsph=4)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    cl = build_clusters(bvh, scene.mesh.positions, scene.mesh.faces,
+                        scene.mesh.face_valid, leaf=16)
+    ro, rd = _rays(rng, 1000)  # non-multiple of the ray tile
+    a = find_closest_bruteforce(scene, ro, rd)
+    for use_pallas in (True, False):
+        c = find_closest_cluster(scene, cl, ro, rd, use_pallas=use_pallas)
+        assert np.allclose(np.asarray(a.t), np.asarray(c.t),
+                           rtol=1e-4, atol=1e-4)
+        assert np.array_equal(np.asarray(a.sphere), np.asarray(c.sphere))
+
+
+def test_cluster_backend_renders(rng):
+    from raypt.core.types import RenderConfig
+    from raypt.render import render_frame
+    scene = _scene(rng, ntri=120, nsph=2)
+    cfg_c = RenderConfig(width=16, height=16, samples_per_pixel=1,
+                         num_bounces=3, backend="cluster",
+                         russian_roulette=False)
+    cfg_b = cfg_c.replace(backend="bruteforce")
+    ia = render_frame(scene, cfg_c, jax.random.key(0))
+    ib = render_frame(scene, cfg_b, jax.random.key(0))
+    assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
