@@ -29,10 +29,10 @@ BIG_I = 2 ** 30
 
 def _kernel(worklist_ref, counts_ref, o_ref, d_ref, t0_ref, rows_ref,
             t_ref, f_ref):
-    # worklist/counts ride 8-tile VMEM blocks (the full arrays exceed
-    # SMEM, so scalar prefetch is not an option, and Mosaic requires
-    # sublane-divisible block shapes); cid/cnt are scalar VMEM reads
-    # from row (program_id % 8)
+    # worklist/counts ride 8-tile SMEM blocks (the full arrays exceed
+    # the SMEM budget for scalar prefetch, and dynamic 2D scalar loads
+    # from VMEM don't lower); cid/cnt are scalar SMEM reads from row
+    # (program_id % 8)
     row = pl.program_id(0) % 8
     cnt = counts_ref[row, 0]
     o = o_ref[:]                          # (3, TILE)
@@ -114,9 +114,9 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, cap), lambda i: (i // 8, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE), lambda i: (0, i),
@@ -135,6 +135,8 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
             jax.ShapeDtypeStruct((1, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(worklist, counts.reshape(n_tiles, 1), o_t, d_t,
       t0.reshape(1, r), tri_rows_cm)
