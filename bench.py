@@ -46,6 +46,7 @@ def main():
         pass
 
     from raypt.accel import build
+    from raypt.accel.host_bvh import build_sah
     from raypt.core.types import RenderConfig
     from raypt.render.integrator import make_finder, render_sample
     from raypt.rng import frame_key, sample_key
@@ -58,8 +59,10 @@ def main():
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples_per_pixel=SPP,
                        num_bounces=BOUNCES, backend="bvh",
                        russian_roulette=True)
-    bvh = build(scene.mesh.positions, scene.mesh.faces,
-                scene.mesh.face_valid)
+    bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
+    if bvh is None:
+        bvh = build(scene.mesh.positions, scene.mesh.faces,
+                    scene.mesh.face_valid)
     jax.block_until_ready(bvh.bmin)
     key = jax.random.key(0)
 

@@ -320,3 +320,181 @@ void rn_morton_order(const float* centroids, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH (host builder, singleton leaves)
+// ---------------------------------------------------------------------------
+// Higher-quality tree than morton LBVH (fewer node visits per ray);
+// always splits down to 1-triangle leaves (median fallback when SAH or
+// partition degenerates), so the output is exactly 2n-1 nodes and maps
+// 1:1 onto the device skip-link layout (raypt/accel/host_bvh.py).
+
+namespace sah {
+
+struct Ctx {
+    const float* pos;
+    const int* faces;
+    std::vector<float> cent;       // n*3
+    std::vector<float> tri_bounds; // n*6
+    std::vector<uint32_t> order;
+    float* bounds;                 // (2n-1)*6
+    uint32_t* meta;                // (2n-1)*2  leaf: (tri_slot,1) int: (left,0)
+    uint32_t nodes_used;
+};
+
+static void node_bounds(Ctx& c, uint32_t node, uint32_t first, uint32_t count) {
+    float* b = c.bounds + node * 6;
+    b[0] = b[1] = b[2] = 1e30f;
+    b[3] = b[4] = b[5] = -1e30f;
+    for (uint32_t i = 0; i < count; ++i) {
+        const float* tb = c.tri_bounds.data() + c.order[first + i] * 6;
+        for (int a = 0; a < 3; ++a) {
+            b[a] = std::min(b[a], tb[a]);
+            b[3 + a] = std::max(b[3 + a], tb[3 + a]);
+        }
+    }
+}
+
+static uint32_t build(Ctx& c, uint32_t first, uint32_t count) {
+    const uint32_t node = c.nodes_used++;
+    node_bounds(c, node, first, count);
+    if (count == 1) {
+        c.meta[node * 2] = first;      // slot in `order`
+        c.meta[node * 2 + 1] = 1;
+        return node;
+    }
+    // centroid bounds
+    float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (uint32_t i = 0; i < count; ++i) {
+        const float* ct = c.cent.data() + c.order[first + i] * 3;
+        for (int a = 0; a < 3; ++a) {
+            cmin[a] = std::min(cmin[a], ct[a]);
+            cmax[a] = std::max(cmax[a], ct[a]);
+        }
+    }
+    int best_axis = -1;
+    float best_pos = 0, best_cost = 1e30f;
+    constexpr int BINS = 16;
+    for (int axis = 0; axis < 3; ++axis) {
+        const float ext = cmax[axis] - cmin[axis];
+        if (ext <= 1e-12f) continue;
+        struct Bin { float b[6]; uint32_t n = 0; } bins[BINS];
+        for (auto& bn : bins)
+            for (int a = 0; a < 3; ++a) { bn.b[a] = 1e30f; bn.b[3+a] = -1e30f; }
+        const float scale = BINS / ext;
+        for (uint32_t i = 0; i < count; ++i) {
+            const uint32_t t = c.order[first + i];
+            int bi = std::min(BINS - 1,
+                              (int)((c.cent[t * 3 + axis] - cmin[axis]) * scale));
+            Bin& bn = bins[bi];
+            bn.n++;
+            const float* tb = c.tri_bounds.data() + t * 6;
+            for (int a = 0; a < 3; ++a) {
+                bn.b[a] = std::min(bn.b[a], tb[a]);
+                bn.b[3+a] = std::max(bn.b[3+a], tb[3 + a]);
+            }
+        }
+        float larea[BINS - 1], rarea[BINS - 1];
+        uint32_t lcnt[BINS - 1], rcnt[BINS - 1];
+        float acc[6]; uint32_t nacc = 0;
+        for (int a = 0; a < 3; ++a) { acc[a] = 1e30f; acc[3+a] = -1e30f; }
+        for (int i = 0; i < BINS - 1; ++i) {
+            nacc += bins[i].n;
+            for (int a = 0; a < 3; ++a) {
+                acc[a] = std::min(acc[a], bins[i].b[a]);
+                acc[3+a] = std::max(acc[3+a], bins[i].b[3+a]);
+            }
+            lcnt[i] = nacc;
+            float e[3] = {acc[3]-acc[0], acc[4]-acc[1], acc[5]-acc[2]};
+            larea[i] = nacc ? std::max(0.f, e[0]*e[1] + e[1]*e[2] + e[2]*e[0]) : 0.f;
+        }
+        for (int a = 0; a < 3; ++a) { acc[a] = 1e30f; acc[3+a] = -1e30f; }
+        nacc = 0;
+        for (int i = BINS - 1; i >= 1; --i) {
+            nacc += bins[i].n;
+            for (int a = 0; a < 3; ++a) {
+                acc[a] = std::min(acc[a], bins[i].b[a]);
+                acc[3+a] = std::max(acc[3+a], bins[i].b[3+a]);
+            }
+            rcnt[i-1] = nacc;
+            float e[3] = {acc[3]-acc[0], acc[4]-acc[1], acc[5]-acc[2]};
+            rarea[i-1] = nacc ? std::max(0.f, e[0]*e[1] + e[1]*e[2] + e[2]*e[0]) : 0.f;
+        }
+        for (int i = 0; i < BINS - 1; ++i) {
+            if (!lcnt[i] || !rcnt[i]) continue;
+            const float cost = larea[i] * lcnt[i] + rarea[i] * rcnt[i];
+            if (cost < best_cost) {
+                best_cost = cost;
+                best_axis = axis;
+                best_pos = cmin[axis] + (ext * (i + 1)) / BINS;
+            }
+        }
+    }
+    uint32_t mid;
+    if (best_axis < 0) {
+        mid = first + count / 2;   // degenerate: median split by order
+    } else {
+        uint32_t i = first, j = first + count - 1;
+        while (i <= j) {
+            if (c.cent[c.order[i] * 3 + best_axis] < best_pos) ++i;
+            else { std::swap(c.order[i], c.order[j]); if (!j) break; --j; }
+        }
+        mid = i;
+        if (mid == first || mid == first + count) mid = first + count / 2;
+    }
+    const uint32_t l = build(c, first, mid - first);
+    const uint32_t r = build(c, mid, first + count - mid);
+    (void)r;                      // right child is always left+subtree; meta
+    c.meta[node * 2] = l;         // stores the LEFT child id; right = the
+    c.meta[node * 2 + 1] = 0;     // node built immediately after l's subtree
+    return node;
+}
+
+}  // namespace sah
+
+// bounds_out: (2n-1)*6; meta_out: (2n-1)*2 (leaf: order_slot,1; internal:
+// left_child,0 — right child id = left_child + subtree_size(left), returned
+// implicitly by construction: it is the node with id = (value written
+// by the second recursive call)); order_out: triangle permutation.
+// For simplicity the python converter recovers right children by DFS.
+extern "C" int rn_build_sah_bvh(const float* positions, int /*n_verts*/,
+                     const int* faces, int n_tris,
+                     float** bounds_out, uint32_t** meta_out,
+                     uint32_t** order_out) {
+    if (n_tris <= 0) return -1;
+    sah::Ctx c;
+    c.pos = positions;
+    c.faces = faces;
+    c.cent.resize((size_t)n_tris * 3);
+    c.tri_bounds.resize((size_t)n_tris * 6);
+    c.order.resize((size_t)n_tris);
+    for (int i = 0; i < n_tris; ++i) {
+        c.order[i] = (uint32_t)i;
+        float* tb = c.tri_bounds.data() + i * 6;
+        tb[0] = tb[1] = tb[2] = 1e30f;
+        tb[3] = tb[4] = tb[5] = -1e30f;
+        for (int k = 0; k < 3; ++k) {
+            const float* v = positions + faces[i * 3 + k] * 3;
+            for (int a = 0; a < 3; ++a) {
+                tb[a] = std::min(tb[a], v[a]);
+                tb[3 + a] = std::max(tb[3 + a], v[a]);
+            }
+        }
+        for (int a = 0; a < 3; ++a)
+            c.cent[i * 3 + a] = (positions[faces[i * 3] * 3 + a]
+                                 + positions[faces[i * 3 + 1] * 3 + a]
+                                 + positions[faces[i * 3 + 2] * 3 + a]) / 3.0f;
+    }
+    const size_t max_nodes = 2 * (size_t)n_tris - 1;
+    c.bounds = (float*)std::malloc(max_nodes * 6 * sizeof(float));
+    c.meta = (uint32_t*)std::calloc(max_nodes * 2, sizeof(uint32_t));
+    c.nodes_used = 0;
+    sah::build(c, 0, (uint32_t)n_tris);
+
+    uint32_t* order = (uint32_t*)std::malloc((size_t)n_tris * sizeof(uint32_t));
+    std::memcpy(order, c.order.data(), (size_t)n_tris * sizeof(uint32_t));
+    *bounds_out = c.bounds;
+    *meta_out = c.meta;
+    *order_out = order;
+    return (int)c.nodes_used;
+}

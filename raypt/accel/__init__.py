@@ -1,4 +1,5 @@
 from .lbvh import LBVH, build, refit, morton3d
+from .host_bvh import build_sah, host_tree_to_lbvh
 from .packed import PackedLBVH, pack, traverse_wavefront
 from .wide import WideBVH, collapse, traverse_wide
 from .dense import WoopTris, build_woop, closest_dense

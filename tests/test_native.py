@@ -90,3 +90,60 @@ def test_native_morton_order():
     codes = mo["codes"][mo["order"]]
     assert np.all(np.diff(codes.astype(np.int64)) >= 0)
     assert sorted(mo["order"].tolist()) == list(range(1000))
+
+
+def test_sah_bvh_parity(rng):
+    """Native SAH tree converted to the device layout matches the
+    brute-force oracle through the packed traversal."""
+    import jax.numpy as jnp
+    from raypt.accel import build_sah, pack, find_closest_packed, \
+        find_closest_bruteforce
+    from raypt.core.scene import MaterialDef, SceneBuilder
+    from raypt.core.math3d import normalize
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef())
+    for _ in range(200):
+        base = rng.uniform(-5, 5, 3)
+        b.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                       base + rng.uniform(-1, 1, 3), m0)
+    scene = b.freeze()
+    sah = build_sah(scene.mesh)
+    assert sah is not None
+    pb = pack(sah, scene.mesh.positions, scene.mesh.faces,
+              scene.mesh.face_valid)
+    ro = jnp.asarray(rng.uniform(-6, 6, (1024, 3)).astype(np.float32))
+    rd = normalize(jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32)))
+    a = find_closest_bruteforce(scene, ro, rd)
+    c = find_closest_packed(scene, pb, ro, rd, tile=256)
+    assert np.allclose(np.asarray(a.t), np.asarray(c.t),
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_sah_skip_links_cover_all_leaves(rng):
+    from raypt.accel import build_sah
+    from raypt.core.scene import MaterialDef, SceneBuilder
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef())
+    for _ in range(50):
+        base = rng.uniform(-5, 5, 3)
+        b.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                       base + rng.uniform(-1, 1, 3), m0)
+    scene = b.freeze()
+    sah = build_sah(scene.mesh)
+    n = sah.num_leaves
+    left = np.asarray(sah.left)
+    skip = np.asarray(sah.skip)
+    node, steps, visits = 0, 0, []
+    while node >= 0 and steps <= 10 * n:
+        steps += 1
+        if node >= n - 1:
+            visits.append(node - (n - 1))
+            node = skip[node]
+        else:
+            node = left[node]
+    # the walk covers every REAL face exactly once (padded leaf slots
+    # are unreachable by construction)
+    n_real = int(np.asarray(scene.mesh.face_valid).sum())
+    assert len(visits) == n_real
+    lf = np.asarray(sah.leaf_face)
+    assert sorted(lf[visits].tolist()) == list(range(n_real))
