@@ -17,6 +17,15 @@ os.environ["PYTHONPATH"] = ":".join(
     p for p in os.environ.get("PYTHONPATH", "").split(":")
     if ".axon_site" not in p)
 
+# The axon sitecustomize imports jax at interpreter startup and calls
+# jax.config.update("jax_platforms", "axon,cpu"), which silently
+# overrides the JAX_PLATFORMS env var above — tests would then run on
+# the TPU tunnel and golden images (CPU renders) would mismatch. Force
+# the config back before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
