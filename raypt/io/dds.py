@@ -13,7 +13,8 @@ decodes that we can reasonably need on TPU:
   * DX10 DXGI float/unorm variants of the above
   * BC1/BC2/BC3 (DXT1/3/5) via software decode (`_decode_bc`) — the
     reference decodes these in texture hardware (CUDATexture.cpp:30-66)
-BC4-7 are rejected with a clear error.
+  * BC4/BC5/BC6H/BC7 via raypt.io.bcn (full mode coverage, validated
+    against an independent decoder)
 """
 from __future__ import annotations
 
@@ -37,7 +38,10 @@ _DXGI = {
     91: ("u1b", 4),  # B8G8R8A8_UNORM_SRGB
 }
 _DXGI_BC = {71: "bc1", 72: "bc1", 74: "bc2", 75: "bc2", 77: "bc3",
-            78: "bc3"}
+            78: "bc3", 80: "bc4", 81: "bc4s", 83: "bc5", 84: "bc5s",
+            95: "bc6h", 96: "bc6hs", 98: "bc7", 99: "bc7"}
+_FOURCC_BC45 = {b"ATI1": "bc4", b"BC4U": "bc4", b"BC4S": "bc4s",
+                b"ATI2": "bc5", b"BC5U": "bc5", b"BC5S": "bc5s"}
 
 
 def _decode_bc_colors(c0: np.ndarray, c1: np.ndarray, idx: np.ndarray,
@@ -64,9 +68,24 @@ def _decode_bc_colors(c0: np.ndarray, c1: np.ndarray, idx: np.ndarray,
 
 
 def _decode_bc(data: bytes, w: int, h: int, kind: str) -> np.ndarray:
-    """Software decode of BC1/BC2/BC3 blocks -> (h, w, 4) float32.
-    Behavioural replacement for the reference's hardware decode of
-    BC formats (utils/CUDATexture.cpp:30-66)."""
+    """Software decode of BC blocks -> (h, w, 4) float32. Behavioural
+    replacement for the reference's hardware decode of BC formats
+    (utils/CUDATexture.cpp:30-66). BC1-3 decode inline; BC4-7 dispatch
+    to raypt.io.bcn (padded to RGBA for a uniform return shape)."""
+    if kind not in ("bc1", "bc2", "bc3"):
+        from .bcn import decode_bc4, decode_bc5, decode_bc6h, decode_bc7
+        if kind.startswith("bc4"):
+            img = decode_bc4(data, w, h, signed=kind.endswith("s"))
+        elif kind.startswith("bc5"):
+            img = decode_bc5(data, w, h, signed=kind.endswith("s"))
+        elif kind.startswith("bc6h"):
+            img = decode_bc6h(data, w, h, signed=kind.endswith("s"))
+        else:
+            return decode_bc7(data, w, h)
+        out = np.zeros(img.shape[:2] + (4,), np.float32)
+        out[..., 3] = 1.0
+        out[..., :img.shape[-1]] = img
+        return out
     bw, bh = -(-w // 4), -(-h // 4)
     n = bw * bh
     blk = 8 if kind == "bc1" else 16
@@ -152,6 +171,8 @@ def load_dds(path_or_bytes):
     elif pf_flags & DDPF_FOURCC:
         if fourcc in _FOURCC_BC:
             kind, ch = _FOURCC_BC[fourcc], 4
+        elif fourcc in _FOURCC_BC45:
+            kind, ch = _FOURCC_BC45[fourcc], 4
         else:
             code = struct.unpack("<I", fourcc)[0]
             if code not in _FOURCC_D3D:
@@ -167,10 +188,10 @@ def load_dds(path_or_bytes):
     else:
         raise DDSError("unsupported pixel format")
 
-    is_bc = kind in ("bc1", "bc2", "bc3")
+    is_bc = kind.startswith("bc")
     bswap = kind == "u1b"
     if is_bc:
-        blk = 8 if kind == "bc1" else 16
+        blk = 8 if kind in ("bc1", "bc4", "bc4s") else 16
         npdtype = np.float32
 
         def mip_bytes(w, h):
