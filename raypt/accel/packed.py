@@ -164,3 +164,132 @@ def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
         cond, body, (node0, t_best0, face0,
                      (t0[..., :0].sum() * 0).astype(jnp.int32)))
     return t_best, face
+
+
+def traverse_wavefront_compact(pbvh: PackedLBVH, ro: jax.Array,
+                               rd: jax.Array, t0: jax.Array,
+                               active: jax.Array,
+                               phase_steps=(24, 24, 24, 32),
+                               min_prefix: int = 16384,
+                               unroll: int = 4):
+    """Multi-phase compacting wavefront walk — the fast full-wavefront
+    alternative to tiling.
+
+    Why (measured on v5e, scripts/tpu_sort_probe.py + finder timings):
+    *bulk* gathers are throughput-bound (~0.5ms per 1M x 8 f32 rows)
+    while `lax.map`-tiled while-loops pay ~90us of fixed cost per tile
+    *entry* plus a sync per iteration — at 1024-ray tiles that fixed
+    cost alone was ~370ms of a 520ms bunny frame. So instead of many
+    small latency-bound loops, run a few big throughput-bound ones:
+
+      phase k: `fori_loop` of `phase_steps[k]` traversal steps over the
+          first `prefix` rays (static slice, no per-iteration cond);
+      between phases: stable-compact rays still walking (node >= 0) to
+          the front of the prefix, then halve the prefix — finished and
+          dead rays stop being gathered at all;
+      safety net: a `while_loop` over the final prefix, then one over
+          the full wavefront, so rays deeper than the phase budget (or
+          overflowing a halved prefix) always complete. In the tuned
+          steady state both exit after ~0 iterations.
+
+    Returns (t_best (R,), face (R,) int32, -1 = none)."""
+    R = ro.shape[0]
+    eps = 1e-8
+
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+    rows = pbvh.rows
+
+    def _step(node, t_best, face, o, d, iv):
+        r = rows[jnp.clip(node, 0, None)]
+        is_leaf = r[:, 14] > 0.5
+        tn1 = (r[:, 0:3] - o) * iv
+        tn2 = (r[:, 3:6] - o) * iv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, 0:3] <= r[:, 3:6], axis=-1)
+        hit_box = (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+        pvec = jnp.cross(d, r[:, 6:9])
+        det = jnp.sum(r[:, 3:6] * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > eps, 1.0, 0.0) / jnp.where(
+            jnp.abs(det) > eps, det, 1.0)
+        tvec = o - r[:, 0:3]
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, r[:, 3:6])
+        v = jnp.sum(d * qvec, axis=-1) * inv_det
+        t = jnp.sum(r[:, 6:9] * qvec, axis=-1) * inv_det
+        tri_hit = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0)
+                   & (u + v <= 1.0) & (t > 0.0) & (t < t_best))
+        live = node >= 0
+        take = live & is_leaf & tri_hit
+        t_best = jnp.where(take, t, t_best)
+        face = jnp.where(take, ftoi(r[:, 12]), face)
+        nxt_internal = jnp.where(hit_box, ftoi(r[:, 12]), ftoi(r[:, 13]))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_internal)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face
+
+    # full-wavefront state; `idx` tracks each row's original ray id
+    node = jnp.where(active, 0, -1).astype(jnp.int32)
+    t_best = t0
+    face = node * 0 - 1
+    idx = jnp.arange(R, dtype=jnp.int32)
+    o, d, iv = ro, rd, inv
+
+    def fori_phase(n, state):
+        nd, tb, fc, o_, d_, iv_ = state
+
+        def body(_, s):
+            nd, tb, fc = _step(s[0], s[1], s[2], o_, d_, iv_)
+            return (nd, tb, fc)
+
+        nd, tb, fc = jax.lax.fori_loop(0, n, body, (nd, tb, fc),
+                                       unroll=unroll)
+        return nd, tb, fc, o_, d_, iv_
+
+    def while_phase(state):
+        nd, tb, fc, o_, d_, iv_ = state
+
+        def cond(s):
+            return jnp.any(s[0] >= 0)
+
+        def body(s):
+            nd, tb, fc = s
+            for _ in range(unroll):
+                nd, tb, fc = _step(nd, tb, fc, o_, d_, iv_)
+            return (nd, tb, fc)
+
+        nd, tb, fc = jax.lax.while_loop(cond, body, (nd, tb, fc))
+        return nd, tb, fc, o_, d_, iv_
+
+    prefix = R
+    for k in phase_steps:
+        if prefix < R:  # compact the still-running rays to the front
+            perm = jnp.argsort(node[: 2 * prefix] < 0, stable=True)
+            sl = jax.lax.optimization_barrier(tuple(
+                a[: 2 * prefix][perm]
+                for a in (node, t_best, face, idx, o, d, iv)))
+            node, t_best, face, idx, o, d, iv = (
+                jnp.concatenate([s, a[2 * prefix:]], axis=0)
+                for s, a in zip(sl, (node, t_best, face, idx, o, d, iv)))
+        st = fori_phase(k, (node[:prefix], t_best[:prefix], face[:prefix],
+                            o[:prefix], d[:prefix], iv[:prefix]))
+        node = jnp.concatenate([st[0], node[prefix:]])
+        t_best = jnp.concatenate([st[1], t_best[prefix:]])
+        face = jnp.concatenate([st[2], face[prefix:]])
+        if prefix // 2 >= min_prefix:
+            prefix //= 2
+
+    # safety: finish the final prefix, then anything left anywhere
+    st = while_phase((node[:prefix], t_best[:prefix], face[:prefix],
+                      o[:prefix], d[:prefix], iv[:prefix]))
+    node = jnp.concatenate([st[0], node[prefix:]])
+    t_best = jnp.concatenate([st[1], t_best[prefix:]])
+    face = jnp.concatenate([st[2], face[prefix:]])
+    node, t_best, face, _, _, _ = while_phase(
+        (node, t_best, face, o, d, iv))
+
+    out_t = jnp.zeros_like(t_best).at[idx].set(t_best)
+    out_f = jnp.zeros_like(face).at[idx].set(face)
+    return out_t, out_f

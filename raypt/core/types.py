@@ -214,9 +214,25 @@ class RenderConfig:
     russian_roulette: bool = True
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
     backend: str = "auto"     # bruteforce | dense | bvh | bvh4 | pallas | auto
-    traversal_tile: int = 1024  # rays per traversal loop (0 = one wavefront);
-                                # 512-1024 measured best on TPU v5e
-    traversal_unroll: int = 1   # traversal steps per while-loop iteration
+    traversal_mode: str = "tiled"  # "tiled": lax.map over
+                                # traversal_tile-ray tiles of while-loops
+                                # (fastest measured on v5e); "compact":
+                                # multi-phase compacting full-wavefront
+                                # walk (fori phases + shrinking prefix) —
+                                # loses on v5e because full-width random
+                                # gathers run ~4x slower per row than
+                                # tile-sized ones
+    traversal_tile: int = 8192  # rays per traversal loop in "tiled" mode
+                                # (0 = one wavefront); with unroll=2 this
+                                # measured ~1.3x over 1024/1 on v5e
+                                # (med 450ms vs 533ms bunny 1024^2 fwd)
+    traversal_unroll: int = 2   # traversal steps per while-loop iteration
+                                # in "tiled" mode
+    ray_sort: bool = False      # stable-compact each wavefront (alive
+                                # first) before tiled traversal so dead
+                                # tiles exit immediately; only useful in
+                                # "tiled" mode on sparse wavefronts
+                                # ("compact" mode compacts internally)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

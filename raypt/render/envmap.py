@@ -155,3 +155,115 @@ def rotate_y_pi(d: jax.Array) -> jax.Array:
     """quat(vec3(0, PI, 0)) * d == (-x, y, -z): the reference rotates the
     env lookup 180 degrees about Y (main_raytracing.cu:151)."""
     return jnp.stack([-d[..., 0], d[..., 1], -d[..., 2]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Mip chain + LOD sampling. The reference binds a mip-mapped cubemap
+# and samples it with texCubemapLod (main_raytracing.cu:154) — always at
+# lod 0, but the mip machinery exists in its texture subsystem
+# (utils/CUDATexture.cpp:112-172 uploads every mip level). We expose the
+# equivalent: box-filtered mip generation + explicit-LOD sampling.
+# ---------------------------------------------------------------------------
+
+
+def build_mip_chain(data: jax.Array, max_levels: int = 0) -> list:
+    """Box-filter mip pyramid. data is (H, W, C) or (F, H, W, C); each
+    level halves H and W (stops at 1 or after max_levels > 0 levels).
+    Returns [level0, level1, ...]."""
+    lead = data.ndim == 4
+    img = data if lead else data[None]
+    chain = [data]
+    while max(img.shape[1], img.shape[2]) > 1:
+        if max_levels and len(chain) >= max_levels:
+            break
+        f, h, w, c = img.shape
+        kh, kw = (2 if h > 1 else 1), (2 if w > 1 else 1)
+        h2, w2 = h // kh, w // kw
+        img = img[:, : h2 * kh, : w2 * kw]
+        img = img.reshape(f, h2, kh, w2, kw, c).mean(axis=(2, 4))
+        chain.append(img if lead else img[0])
+    return chain
+
+
+def sample_env_lod(env: EnvMap, chain: list, d: jax.Array,
+                   lod) -> jax.Array:
+    """Trilinear environment sample: bilinear in the two mip levels
+    bracketing `lod` (scalar or per-ray), linear between them. lod 0 ==
+    sample_env. Capability parity with texCubemapLod."""
+    lod = jnp.asarray(lod, jnp.float32)
+    n = len(chain)
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, n - 1)
+    frac = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    def at_level(i):
+        return sample_env(env.replace(data=chain[i]), d)
+
+    if n == 1:
+        return at_level(0)
+    levels = jnp.stack([at_level(i) for i in range(n)])   # (L, ..., 3)
+    a = jnp.take_along_axis(
+        levels, jnp.broadcast_to(l0, d.shape[:-1])[None, ..., None], 0)[0]
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    b = jnp.take_along_axis(
+        levels, jnp.broadcast_to(l1, d.shape[:-1])[None, ..., None], 0)[0]
+    return a * (1.0 - frac) + b * frac
+
+
+# ---------------------------------------------------------------------------
+# Cubemap <-> equirectangular conversion utilities (the reference ships
+# a cubemap DDS; HDR panoramas are equirect — these bridge the two).
+# ---------------------------------------------------------------------------
+
+# direction basis per CUDA/D3D face: dir = normalize(axis + s'*s_axis +
+# t'*t_axis) with s', t' in [-1, 1] (t runs top-down, see _cube_faceuv)
+_FACE_AXES = (
+    ((1, 0, 0), (0, 0, -1), (0, -1, 0)),    # +x
+    ((-1, 0, 0), (0, 0, 1), (0, -1, 0)),    # -x
+    ((0, 1, 0), (1, 0, 0), (0, 0, 1)),      # +y
+    ((0, -1, 0), (1, 0, 0), (0, 0, -1)),    # -y
+    ((0, 0, 1), (1, 0, 0), (0, -1, 0)),     # +z
+    ((0, 0, -1), (-1, 0, 0), (0, -1, 0)),   # -z
+)
+
+
+def _face_dirs(size: int) -> jax.Array:
+    """(6, size, size, 3) unit directions at cube-face texel centers."""
+    sp = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2.0 - 1.0
+    s = sp[None, :]
+    t = sp[:, None]
+    faces = []
+    for axis, s_ax, t_ax in _FACE_AXES:
+        d = (jnp.asarray(axis, jnp.float32)[None, None]
+             + s[..., None] * jnp.asarray(s_ax, jnp.float32)
+             + t[..., None] * jnp.asarray(t_ax, jnp.float32))
+        faces.append(d / jnp.linalg.norm(d, axis=-1, keepdims=True))
+    return jnp.stack(faces)
+
+
+def equirect_to_cube(data: jax.Array, size: int = 0) -> jax.Array:
+    """Equirect (H, W, C) -> cubemap (6, size, size, C) by bilinear
+    resampling (size defaults to H/2 ~ matching angular resolution)."""
+    h = data.shape[0]
+    if not size:
+        size = max(h // 2, 1)
+    dirs = _face_dirs(size)
+    env = EnvMap(data=data, is_cube=False)
+    return sample_env(env, dirs)
+
+
+def cube_to_equirect(data: jax.Array, height: int = 0) -> jax.Array:
+    """Cubemap (6, S, S, C) -> equirect (height, 2*height, C)."""
+    s = data.shape[1]
+    if not height:
+        height = 2 * s
+    width = 2 * height
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * jnp.pi
+    u = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width - 0.5) \
+        * (2.0 * jnp.pi)
+    y = jnp.cos(v)[:, None] * jnp.ones((1, width))
+    sy = jnp.sin(v)[:, None]
+    x = sy * jnp.sin(u)[None, :]
+    z = -sy * jnp.cos(u)[None, :]
+    dirs = jnp.stack([x, y, z], axis=-1)
+    env = EnvMap(data=data, is_cube=True)
+    return sample_env(env, dirs)

@@ -84,7 +84,8 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             return partial(_wide_finder, bvh, cfg.traversal_tile)
         if isinstance(bvh, PackedLBVH):
             return partial(_packed_finder, bvh, cfg.traversal_tile,
-                           cfg.traversal_unroll)
+                           cfg.traversal_unroll, cfg.ray_sort,
+                           cfg.traversal_mode)
         the_bvh = bvh
         if the_bvh is None:
             the_bvh = lbvh_mod.build(scene.mesh.positions,
@@ -97,16 +98,18 @@ def make_finder(scene: Scene, cfg: RenderConfig,
         pbvh = pack(the_bvh, scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
         return partial(_packed_finder, pbvh, cfg.traversal_tile,
-                       cfg.traversal_unroll)
+                       cfg.traversal_unroll, cfg.ray_sort,
+                       cfg.traversal_mode)
     if backend == "pallas":
         from ..kernels import intersect as pallas_intersect
         return pallas_intersect.make_pallas_finder(scene, cfg, bvh)
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def _packed_finder(pbvh, tile, unroll, scene, ro, rd, active=None):
+def _packed_finder(pbvh, tile, unroll, sort_rays, mode, scene, ro, rd,
+                   active=None):
     return find_closest_packed(scene, pbvh, ro, rd, active=active, tile=tile,
-                               unroll=unroll)
+                               unroll=unroll, sort_rays=sort_rays, mode=mode)
 
 
 def _dense_finder(woop, scene, ro, rd, active=None):
