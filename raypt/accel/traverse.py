@@ -66,6 +66,9 @@ def _closest_sphere(scene: Scene, ro, rd):
     """Dense (R, S) sphere pass — fully vectorized broadcast, no vmap
     (a vmap'd per-ray argmin lowered ~10x slower on TPU)."""
     sp = scene.spheres
+    if sp.capacity == 0:   # static shape: sphere-free scene, skip the pass
+        miss = ro[..., 0] * 0.0 + BIG
+        return miss, miss.astype(jnp.int32) * 0 - 1
     flat_o = ro.reshape(-1, 1, 3)
     flat_d = rd.reshape(-1, 1, 3)
     hit, t = intersect_sphere(flat_o, flat_d, sp.center[None], sp.radius[None])

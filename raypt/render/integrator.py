@@ -146,63 +146,68 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
     tables = build_shade_tables(scene)
     env_quads, env_hw = build_env_quads(scene.env)
 
-    def bounce(carry, b):
-        ro, rd, throughput, radiance, alive = carry
-        u = bounce_uniforms(skey, b, pixel_ids)
+    def bounce(carry, b, last=False):
+        ro, rd, throughput, radiance, alive, env_tp, env_dir = carry
 
         ids = finder(scene, ro, rd, active=alive)
         hit, mp = recompute_hit_packed(tables, ro, rd, ids)
         hit_now = alive & hit.valid
         miss_now = alive & ~hit.valid
 
-        albedo = mp[..., 0:3]
-        emissive = mp[..., 3:6]
-        specular = mp[..., 6:9]
-        roughness = mp[..., 9]
-        spec_pct = mp[..., 10]
-        if scene.textures is not None:
-            from .shading import sample_albedo_texture
-            tex_id = jnp.round(mp[..., 11]).astype(jnp.int32)
-            albedo = albedo * sample_albedo_texture(scene.textures, tex_id,
-                                                    hit.uv)
-
-        do_spec = (u[..., 0] < spec_pct).astype(jnp.float32)[..., None]
-
         # emissive uses the throughput *before* the albedo multiply
         # (main_raytracing.cu:126-127)
+        emissive = mp[..., 3:6]
         radiance = radiance + jnp.where(hit_now[..., None],
                                         throughput * emissive, 0.0)
-        throughput = jnp.where(hit_now[..., None],
-                               throughput * lerp(albedo, specular, do_spec),
-                               throughput)
 
-        sph = random_point_on_sphere(u[..., 1], u[..., 2])
-        diffuse_dir = normalize(hit.normal + sph)
-        specular_dir = normalize(reflect(rd, hit.normal))
-        specular_dir = normalize(lerp(specular_dir, diffuse_dir,
-                                      (roughness * roughness)[..., None]))
-        new_dir = normalize(lerp(diffuse_dir, specular_dir, do_spec))
-
-        new_ro = hit.position + hit.normal * cfg.normal_offset
-        ro = jnp.where(hit_now[..., None], new_ro, ro)
-        rd = jnp.where(hit_now[..., None], new_dir, rd)
-
-        if cfg.russian_roulette:
-            p = jnp.max(throughput, axis=-1)
-            die = hit_now & (u[..., 3] > p)
-            boost = jnp.where(hit_now & ~die,
-                              1.0 / jnp.maximum(p, 1e-12), 1.0)
-            throughput = throughput * boost[..., None]
-            alive = alive & ~die
-
-        env = sample_env_quads(scene.env, env_quads, env_hw,
-                               rotate_y_pi(rd) if cfg.env_yaw_pi else rd)
-        env = jnp.clip(env, 0.0, cfg.env_radiance_clamp)
-        radiance = radiance + jnp.where(miss_now[..., None],
-                                        throughput * env, 0.0)
+        # DEFERRED env shading: a ray misses at most once (it then goes
+        # dead), so instead of a bilinear env lookup every bounce for
+        # every lane, record the miss direction + throughput here and
+        # sample the environment ONCE after the bounce loop — cuts env
+        # gathers (and the equirect trig) by num_bounces x.
+        env_tp = jnp.where(miss_now[..., None], throughput, env_tp)
+        env_dir = jnp.where(miss_now[..., None], rd, env_dir)
         alive = alive & ~miss_now
 
-        return (ro, rd, throughput, radiance, alive), None
+        if not last:
+            # BRDF sampling / roulette are unobservable on the final
+            # bounce (nothing traces the new ray) — skip them there.
+            u = bounce_uniforms(skey, b, pixel_ids)
+            albedo = mp[..., 0:3]
+            specular = mp[..., 6:9]
+            roughness = mp[..., 9]
+            spec_pct = mp[..., 10]
+            if scene.textures is not None:
+                from .shading import sample_albedo_texture
+                tex_id = jnp.round(mp[..., 11]).astype(jnp.int32)
+                albedo = albedo * sample_albedo_texture(
+                    scene.textures, tex_id, hit.uv)
+
+            do_spec = (u[..., 0] < spec_pct).astype(jnp.float32)[..., None]
+            throughput = jnp.where(
+                hit_now[..., None],
+                throughput * lerp(albedo, specular, do_spec), throughput)
+
+            sph = random_point_on_sphere(u[..., 1], u[..., 2])
+            diffuse_dir = normalize(hit.normal + sph)
+            specular_dir = normalize(reflect(rd, hit.normal))
+            specular_dir = normalize(lerp(specular_dir, diffuse_dir,
+                                          (roughness * roughness)[..., None]))
+            new_dir = normalize(lerp(diffuse_dir, specular_dir, do_spec))
+
+            new_ro = hit.position + hit.normal * cfg.normal_offset
+            ro = jnp.where(hit_now[..., None], new_ro, ro)
+            rd = jnp.where(hit_now[..., None], new_dir, rd)
+
+            if cfg.russian_roulette:
+                p = jnp.max(throughput, axis=-1)
+                die = hit_now & (u[..., 3] > p)
+                boost = jnp.where(hit_now & ~die,
+                                  1.0 / jnp.maximum(p, 1e-12), 1.0)
+                throughput = throughput * boost[..., None]
+                alive = alive & ~die
+
+        return (ro, rd, throughput, radiance, alive, env_tp, env_dir), None
 
     # derive the initial carry from the ray *directions* so its sharding
     # "varying" type matches under shard_map: rd depends on the sharded
@@ -213,10 +218,20 @@ def trace_paths(scene: Scene, cfg: RenderConfig, skey: jax.Array,
     init = (ro + zeros, rd,
             zeros + 1.0,           # throughput
             zeros,                 # radiance
-            zeros[..., 0] < 1.0)   # alive = True everywhere
-    (ro, rd, _, radiance, _), _ = jax.lax.scan(
-        bounce, init, jnp.arange(cfg.num_bounces))
-    return radiance
+            zeros[..., 0] < 1.0,   # alive = True everywhere
+            zeros,                 # env_tp: throughput at first miss
+            rd)                    # env_dir: direction at first miss
+    carry = init
+    if cfg.num_bounces > 1:
+        carry, _ = jax.lax.scan(bounce, carry,
+                                jnp.arange(cfg.num_bounces - 1))
+    carry, _ = bounce(carry, jnp.int32(cfg.num_bounces - 1), last=True)
+    _, _, _, radiance, _, env_tp, env_dir = carry
+    env = sample_env_quads(scene.env, env_quads, env_hw,
+                           rotate_y_pi(env_dir) if cfg.env_yaw_pi else
+                           env_dir)
+    env = jnp.clip(env, 0.0, cfg.env_radiance_clamp)
+    return radiance + env_tp * env
 
 
 def pixel_id_grid(cfg: RenderConfig) -> jax.Array:

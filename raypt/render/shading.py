@@ -122,16 +122,23 @@ def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
               + v[..., None] * r[..., 22:24])
     tri_mat = r[..., 24]
 
-    s = _one_hot_fetch(tables.sph, jnp.clip(ids.sphere, 0, None))
-    center = s[..., 0:3]
-    radius = s[..., 3]
-    # sphere t recompute (differentiable, glm semantics)
-    oc = ro - center
-    bq = jnp.sum(oc * rd, axis=-1)
-    cq = jnp.sum(oc * oc, axis=-1) - radius * radius
-    disc = bq * bq - cq
-    pos_disc = disc > 0.0
-    st = -bq - jnp.sqrt(jnp.where(pos_disc, disc, 1.0))
+    if tables.sph.shape[0]:
+        s = _one_hot_fetch(tables.sph, jnp.clip(ids.sphere, 0, None))
+        center = s[..., 0:3]
+        radius = s[..., 3]
+        sph_mat = s[..., 4]
+        # sphere t recompute (differentiable, glm semantics)
+        oc = ro - center
+        bq = jnp.sum(oc * rd, axis=-1)
+        cq = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = bq * bq - cq
+        pos_disc = disc > 0.0
+        st = -bq - jnp.sqrt(jnp.where(pos_disc, disc, 1.0))
+    else:   # static shape: sphere-free scene, skip the recompute
+        center = ro * 0.0
+        radius = tt * 0.0
+        sph_mat = tt * 0.0
+        st = tt * 0.0 + BIG
 
     t = jnp.where(is_tri, tt, jnp.where(is_sph, st, BIG))
     pos = ro + rd * t[..., None]
@@ -139,7 +146,7 @@ def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
     normal = jnp.where(is_tri[..., None], tri_n,
                        jnp.where(is_sph[..., None], sph_n, 0.0))
     uv = jnp.where(is_tri[..., None], tri_uv, 0.0)
-    mat_f = jnp.where(is_tri, tri_mat, jnp.where(is_sph, s[..., 4], 0.0))
+    mat_f = jnp.where(is_tri, tri_mat, jnp.where(is_sph, sph_mat, 0.0))
     mat_id = jnp.round(mat_f).astype(jnp.int32)
     valid = is_tri | is_sph
 
