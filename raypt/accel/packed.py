@@ -166,6 +166,171 @@ def traverse_wavefront(pbvh: PackedLBVH, ro: jax.Array, rd: jax.Array,
     return t_best, face
 
 
+# ---------------------------------------------------------------------------
+# Cherry-merged layout: 2 triangles per leaf row (32 x f32)
+# ---------------------------------------------------------------------------
+
+ROW2 = 32
+
+
+@struct.dataclass
+class Packed2LBVH:
+    """Packed table with *cherry-merged* leaves: every internal node
+    whose two children are both singleton leaves is rewritten in place
+    as a 2-triangle leaf row (its children stay in the table but become
+    unreachable — no renumbering, skip links unchanged).
+
+    Why: the traversal loop is gather-rate bound and the TPU gather
+    unit is ROW-rate bound (a 32-wide row costs the same as 16-wide,
+    scripts/tpu_gather_width.py), so halving the node visits below a
+    cherry is pure profit: a ray that would have visited cherry + both
+    children (3 gathers) now visits one row (1 gather, 2 inline
+    Moller-Trumbore tests on the VPU).
+
+    Row layout (32 x f32):
+      internal: [0:3]=bmin [3:6]=bmax [18]=left [20]=skip [21]=0
+      leaf:     [0:3]=p0a [3:6]=e1a [6:9]=e2a
+                [9:12]=p0b [12:15]=e1b [15:18]=e2b
+                [18]=face_a [19]=face_b [20]=skip [21]=1
+      (a singleton leaf keeps a degenerate second triangle: e1b=e2b=0
+       -> det 0 -> never hits.)
+    """
+    rows: jax.Array   # (2N-1, 32) f32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.rows.shape[0]
+
+
+def pack_cherries(bvh: LBVH, positions: jax.Array, faces: jax.Array,
+                  face_valid: jax.Array) -> Packed2LBVH:
+    """Assemble the cherry-merged 32-wide table. Pure jnp (jittable, so
+    it can run under the render jit with traced vertex positions, like
+    pack())."""
+    positions = jax.lax.stop_gradient(positions)
+    n = bvh.num_leaves
+    ni = n - 1
+    total = bvh.num_nodes
+    lf = bvh.leaf_face
+    skip = bvh.skip
+    left = bvh.left
+
+    def tri(fid):
+        f = faces[fid]
+        ok = face_valid[fid][:, None]
+        p0 = positions[f[:, 0]]
+        e1 = jnp.where(ok, positions[f[:, 1]] - p0, 0.0)
+        e2 = jnp.where(ok, positions[f[:, 2]] - p0, 0.0)
+        return p0, e1, e2
+
+    # cherry detection over internal nodes: skip of a left child is its
+    # right sibling, so right[i] = skip[left[i]]
+    l = left[:ni]
+    r = skip[jnp.clip(l, 0, total - 1)]
+    cherry = (l >= ni) & (r >= ni)
+    fa = lf[jnp.clip(l - ni, 0, n - 1)]
+    fb = lf[jnp.clip(r - ni, 0, n - 1)]
+    p0a, e1a, e2a = tri(fa)
+    p0b, e1b, e2b = tri(fb)
+    c = cherry[:, None]
+
+    irows = jnp.zeros((ni, ROW2), jnp.float32)
+    irows = irows.at[:, 0:3].set(jnp.where(c, p0a, bvh.bmin[:ni]))
+    irows = irows.at[:, 3:6].set(jnp.where(c, e1a, bvh.bmax[:ni]))
+    irows = irows.at[:, 6:9].set(jnp.where(c, e2a, 0.0))
+    irows = irows.at[:, 9:12].set(jnp.where(c, p0b, 0.0))
+    irows = irows.at[:, 12:15].set(jnp.where(c, e1b, 0.0))
+    irows = irows.at[:, 15:18].set(jnp.where(c, e2b, 0.0))
+    irows = irows.at[:, 18].set(_itof(jnp.where(cherry, fa, left[:ni])))
+    irows = irows.at[:, 19].set(_itof(jnp.where(cherry, fb, -1)))
+    irows = irows.at[:, 20].set(_itof(skip[:ni]))
+    irows = irows.at[:, 21].set(cherry.astype(jnp.float32))
+
+    # singleton leaf rows (unreachable under a cherry but kept in place —
+    # no renumbering)
+    p0, e1, e2 = tri(lf)
+    lrows = jnp.zeros((n, ROW2), jnp.float32)
+    lrows = lrows.at[:, 0:3].set(p0)
+    lrows = lrows.at[:, 3:6].set(e1)
+    lrows = lrows.at[:, 6:9].set(e2)
+    lrows = lrows.at[:, 18].set(_itof(lf))
+    lrows = lrows.at[:, 19].set(_itof(jnp.full((n,), -1, jnp.int32)))
+    lrows = lrows.at[:, 20].set(_itof(skip[ni:]))
+    lrows = lrows.at[:, 21].set(1.0)
+    return Packed2LBVH(rows=jnp.concatenate([irows, lrows], axis=0))
+
+
+def _mt(ro, rd, p0, e1, e2, t_best, eps=1e-8):
+    """Branchless Moller-Trumbore: returns (hit, t)."""
+    pvec = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    ok = jnp.abs(det) > eps
+    inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+    tvec = ro - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t > 0.0) & (t < t_best)
+    return hit, t
+
+
+def traverse_wavefront2(pbvh: Packed2LBVH, ro: jax.Array, rd: jax.Array,
+                        t0: jax.Array, active: jax.Array,
+                        unroll: int = 2):
+    """Skip-link walk over the cherry-merged 32-wide table. Same
+    contract as traverse_wavefront."""
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    face0 = node0 * 0 - 1
+    rows = pbvh.rows
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node >= 0)
+
+    def _step(node, t_best, face):
+        r = rows[jnp.clip(node, 0, None)]          # (R, 32) single gather
+        is_leaf = r[:, 21] > 0.5
+
+        tn1 = (r[:, 0:3] - ro) * inv
+        tn2 = (r[:, 3:6] - ro) * inv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, 0:3] <= r[:, 3:6], axis=-1)
+        hit_box = (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+
+        ha, ta = _mt(ro, rd, r[:, 0:3], r[:, 3:6], r[:, 6:9], t_best)
+        hb, tb = _mt(ro, rd, r[:, 9:12], r[:, 12:15], r[:, 15:18], t_best)
+        ta = jnp.where(ha, ta, BIG)
+        tb = jnp.where(hb, tb, BIG)
+        b_wins = tb < ta
+        tmin = jnp.where(b_wins, tb, ta)
+        fid = jnp.where(b_wins, ftoi(r[:, 19]), ftoi(r[:, 18]))
+
+        live = node >= 0
+        take = live & is_leaf & (tmin < t_best)
+        t_best = jnp.where(take, tmin, t_best)
+        face = jnp.where(take, fid, face)
+
+        nxt_internal = jnp.where(hit_box, ftoi(r[:, 18]), ftoi(r[:, 20]))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 20]), nxt_internal)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face
+
+    def body(state):
+        node, t_best, face = state
+        for _ in range(unroll):
+            node, t_best, face = _step(node, t_best, face)
+        return node, t_best, face
+
+    _, t_best, face = jax.lax.while_loop(cond, body, (node0, t0, face0))
+    return t_best, face
+
+
 def traverse_wavefront_compact(pbvh: PackedLBVH, ro: jax.Array,
                                rd: jax.Array, t0: jax.Array,
                                active: jax.Array,

@@ -228,6 +228,10 @@ class RenderConfig:
                                 # (med 450ms vs 533ms bunny 1024^2 fwd)
     traversal_unroll: int = 2   # traversal steps per while-loop iteration
                                 # in "tiled" mode
+    leaf_tris: int = 1          # triangles per packed-BVH leaf row for
+                                # backend "bvh": 2 = cherry-merged 32-wide
+                                # rows (fewer row gathers per ray; the
+                                # gather unit is row-rate bound)
     ray_sort: bool = False      # stable-compact each wavefront (alive
                                 # first) before tiled traversal so dead
                                 # tiles exit immediately; only useful in

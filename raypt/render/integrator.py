@@ -78,11 +78,12 @@ def make_finder(scene: Scene, cfg: RenderConfig,
     if backend in ("bvh", "bvh2", "bvh4"):
         # "bvh"/"bvh2": binary packed skip-link walk (fastest measured);
         # "bvh4": wide ordered-stack variant
-        from ..accel.packed import PackedLBVH, pack
+        from ..accel.packed import (Packed2LBVH, PackedLBVH, pack,
+                                    pack_cherries)
         from ..accel.wide import WideBVH, collapse
         if isinstance(bvh, WideBVH):
             return partial(_wide_finder, bvh, cfg.traversal_tile)
-        if isinstance(bvh, PackedLBVH):
+        if isinstance(bvh, (PackedLBVH, Packed2LBVH)):
             return partial(_packed_finder, bvh, cfg.traversal_tile,
                            cfg.traversal_unroll, cfg.ray_sort,
                            cfg.traversal_mode)
@@ -95,8 +96,9 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             wbvh = collapse(the_bvh, scene.mesh.positions, scene.mesh.faces,
                             scene.mesh.face_valid)
             return partial(_wide_finder, wbvh, cfg.traversal_tile)
-        pbvh = pack(the_bvh, scene.mesh.positions, scene.mesh.faces,
-                    scene.mesh.face_valid)
+        packer = pack_cherries if cfg.leaf_tris >= 2 else pack
+        pbvh = packer(the_bvh, scene.mesh.positions, scene.mesh.faces,
+                      scene.mesh.face_valid)
         return partial(_packed_finder, pbvh, cfg.traversal_tile,
                        cfg.traversal_unroll, cfg.ray_sort,
                        cfg.traversal_mode)

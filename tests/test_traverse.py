@@ -225,3 +225,72 @@ def test_cluster_backend_renders(rng):
     ia = render_frame(scene, cfg_c, jax.random.key(0))
     ib = render_frame(scene, cfg_b, jax.random.key(0))
     assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
+
+
+def test_packed2_cherry_matches_bruteforce(rng):
+    """Cherry-merged 2-triangle-leaf table (accel.packed.pack_cherries +
+    traverse_wavefront2) agrees with the brute-force oracle."""
+    from raypt.accel import find_closest_packed
+    from raypt.accel.packed import pack_cherries
+    scene = _scene(rng, ntri=300, nsph=3)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    p2 = pack_cherries(bvh, scene.mesh.positions, scene.mesh.faces,
+                       scene.mesh.face_valid)
+    ro, rd = _rays(rng, 2048)
+    a = find_closest_bruteforce(scene, ro, rd)
+    b = find_closest_packed(scene, p2, ro, rd, tile=512)
+    assert np.allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+    same = np.asarray(a.tri) == np.asarray(b.tri)
+    assert (same | np.isclose(np.asarray(a.t), np.asarray(b.t),
+                              rtol=1e-6)).all()
+
+
+def test_leaf_tris2_render_matches_leaf_tris1(rng):
+    """backend='bvh' with leaf_tris=2 renders the same image as the
+    singleton-leaf layout (same intersections, different gather shape)."""
+    from raypt.core.types import RenderConfig
+    from raypt.render.integrator import make_finder, render_sample
+    from raypt.rng import frame_key, sample_key
+    from raypt.scenes import cornell_box
+    b = cornell_box()
+    b.camera.viewport_width = b.camera.viewport_height = 32
+    scene = b.freeze()
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    key = sample_key(frame_key(jax.random.key(3), 0), 0)
+    imgs = []
+    for lt in (1, 2):
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=1,
+                           num_bounces=4, backend="bvh", leaf_tris=lt)
+        finder = make_finder(scene, cfg, bvh)
+        imgs.append(np.asarray(render_sample(scene, cfg, key, finder)))
+    assert np.allclose(imgs[0], imgs[1], rtol=1e-4, atol=1e-5)
+
+
+def test_spherefree_scene_renders(rng):
+    """A scene with zero sphere capacity takes the static sphere-free
+    fast path and renders identically to the same scene with one padded
+    invalid sphere slot."""
+    from raypt.core.types import RenderConfig, Spheres
+    from raypt.render.integrator import make_finder, render_sample
+    from raypt.rng import frame_key, sample_key
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef(albedo=(0.7, 0.6, 0.5)))
+    for _ in range(40):
+        base = rng.uniform(-3, 3, 3)
+        b.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                       base + rng.uniform(-1, 1, 3), m0)
+    b.camera.viewport_width = b.camera.viewport_height = 32
+    scene = b.freeze()          # padded: >=1 invalid sphere slot
+    assert scene.spheres.capacity > 0
+    assert not bool(np.asarray(scene.spheres.valid).any())
+    scene0 = scene.replace(spheres=Spheres.empty(0))
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=1,
+                       num_bounces=3, backend="bvh")
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    key = sample_key(frame_key(jax.random.key(5), 0), 0)
+    a = np.asarray(render_sample(scene, cfg, key, make_finder(scene, cfg, bvh)))
+    c = np.asarray(render_sample(scene0, cfg, key,
+                                 make_finder(scene0, cfg, bvh)))
+    assert np.isfinite(c).all()
+    assert np.allclose(a, c, rtol=1e-5, atol=1e-6)
