@@ -64,3 +64,37 @@ def load_pytree(path: str, like):
             raise KeyError(f"checkpoint missing leaf {key}")
     step = int(z["__step__"]) if "__step__" in z else 0
     return jax.tree_util.tree_unflatten(treedef, new_leaves), step
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async-capable, multi-host-aware checkpointing
+# for long inverse-rendering jobs. Same pytree contract as
+# save_pytree/load_pytree; orbax handles sharded arrays per host so a
+# pod-slice job can checkpoint without gathering to host 0.
+# ---------------------------------------------------------------------------
+
+
+def have_orbax() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def save_pytree_orbax(path: str, tree, step: int = 0) -> None:
+    """Save a pytree via orbax (directory-based; absolute path)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, str(step)), tree, force=True)
+
+
+def load_pytree_orbax(path: str, like, step: int = 0):
+    """Restore a pytree saved by save_pytree_orbax into `like`'s
+    structure (and shardings, when `like` holds sharded jax.Arrays)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.join(path, str(step)), item=like)
+    return restored, step

@@ -291,3 +291,19 @@ def test_dds_loader_bc5_fourcc_path():
     d = load_dds(_dds_header(4, 4, b"ATI2") + blk)
     assert d["data"].shape == (4, 4, 4)
     assert np.allclose(d["data"][..., 3], 1.0)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from raypt.io.checkpoint import (have_orbax, load_pytree_orbax,
+                                     save_pytree_orbax)
+    if not have_orbax():
+        import pytest
+        pytest.skip("orbax not installed")
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    save_pytree_orbax(str(tmp_path / "ck"), tree, step=7)
+    restored, step = load_pytree_orbax(str(tmp_path / "ck"), tree, step=7)
+    assert step == 7
+    assert np.allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    assert np.allclose(np.asarray(restored["b"]["c"]),
+                       np.asarray(tree["b"]["c"]))
