@@ -260,6 +260,305 @@ def pack_cherries(bvh: LBVH, positions: jax.Array, faces: jax.Array,
     return Packed2LBVH(rows=jnp.concatenate([irows, lrows], axis=0))
 
 
+# ---------------------------------------------------------------------------
+# Lookahead layout: 16-wide rows, internal rows carry both CHILDREN's boxes
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PackedLALBVH:
+    """16-wide packed table with *lookahead* internal rows: instead of a
+    node's own box, an internal row carries both children's boxes plus
+    all three links — exactly 16 f32 slots, so the table stays the same
+    size as PackedLBVH (fits VMEM for ~130k-node trees, which the
+    64-wide quad table does not).
+
+    One gather culls both children: a child whose box misses is never
+    gathered. Correctness on skip-entry (arriving at a right sibling
+    whose box was rejected at the parent) is automatic: child boxes are
+    contained in the parent's, so a ray that missed the parent's box
+    misses both child boxes and the row falls through to its skip.
+
+    Row layout (16 x f32):
+      internal: [0:3]=lmin [3:6]=lmax [6:9]=rmin [9:12]=rmax
+                [12]=left [13]=skip [15]=right, [14]=0
+      leaf:     [0:3]=p0 [3:6]=e1 [6:9]=e2 [12]=face [13]=skip [14]=1
+    """
+    rows: jax.Array   # (2N-1, 16) f32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.rows.shape[0]
+
+
+def pack_lookahead(bvh: LBVH, positions: jax.Array, faces: jax.Array,
+                   face_valid: jax.Array) -> PackedLALBVH:
+    """Assemble the 16-wide lookahead table (pure jnp, jittable)."""
+    positions = jax.lax.stop_gradient(positions)
+    n = bvh.num_leaves
+    total = bvh.num_nodes
+    ni = n - 1
+
+    lc = jnp.clip(bvh.left[:ni], 0, total - 1)
+    rc = jnp.clip(bvh.skip[lc], 0, total - 1)   # right child = skip of left
+
+    rows = jnp.zeros((total, ROW), jnp.float32)
+    rows = rows.at[:ni, 0:3].set(bvh.bmin[lc])
+    rows = rows.at[:ni, 3:6].set(bvh.bmax[lc])
+    rows = rows.at[:ni, 6:9].set(bvh.bmin[rc])
+    rows = rows.at[:ni, 9:12].set(bvh.bmax[rc])
+    rows = rows.at[:ni, 12].set(_itof(bvh.left[:ni]))
+    rows = rows.at[:ni, 13].set(_itof(bvh.skip[:ni]))
+    rows = rows.at[:ni, 15].set(_itof(rc))
+
+    lf = bvh.leaf_face
+    p0 = positions[faces[lf, 0]]
+    p1 = positions[faces[lf, 1]]
+    p2 = positions[faces[lf, 2]]
+    ok = face_valid[lf][:, None]
+    rows = rows.at[ni:, 0:3].set(p0)
+    rows = rows.at[ni:, 3:6].set(jnp.where(ok, p1 - p0, 0.0))
+    rows = rows.at[ni:, 6:9].set(jnp.where(ok, p2 - p0, 0.0))
+    rows = rows.at[ni:, 12].set(_itof(lf))
+    rows = rows.at[ni:, 13].set(_itof(bvh.skip[ni:]))
+    rows = rows.at[ni:, 14].set(1.0)
+    return PackedLALBVH(rows=rows)
+
+
+def traverse_wavefront_la(pbvh: PackedLALBVH, ro: jax.Array, rd: jax.Array,
+                          t0: jax.Array, active: jax.Array,
+                          unroll: int = 2):
+    """Skip-link walk over the 16-wide lookahead table. Same contract
+    as traverse_wavefront."""
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    face0 = node0 * 0 - 1
+    rows = pbvh.rows
+
+    def _slab(r, base, t_best):
+        tn1 = (r[:, base:base + 3] - ro) * inv
+        tn2 = (r[:, base + 3:base + 6] - ro) * inv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, base:base + 3] <= r[:, base + 3:base + 6],
+                           axis=-1)
+        return (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+
+    def _step(node, t_best, face):
+        r = rows[jnp.clip(node, 0, None)]          # (R, 16) single gather
+        is_leaf = r[:, 14] > 0.5
+
+        hit, t = _mt(ro, rd, r[:, 0:3], r[:, 3:6], r[:, 6:9], t_best)
+        live = node >= 0
+        take = live & is_leaf & hit
+        t_best = jnp.where(take, t, t_best)
+        face = jnp.where(take, ftoi(r[:, 12]), face)
+
+        hl = _slab(r, 0, t_best)
+        hr = _slab(r, 6, t_best)
+        nxt_internal = jnp.where(
+            hl, ftoi(r[:, 12]),
+            jnp.where(hr, ftoi(r[:, 15]), ftoi(r[:, 13])))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_internal)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face
+
+    def body(state):
+        node, t_best, face = state
+        for _ in range(unroll):
+            node, t_best, face = _step(node, t_best, face)
+        return node, t_best, face
+
+    _, t_best, face = jax.lax.while_loop(
+        lambda s: jnp.any(s[0] >= 0), body, (node0, t0, face0))
+    return t_best, face
+
+
+# ---------------------------------------------------------------------------
+# Quad-leaf layout: up to 4 triangles per leaf row (64 x f32)
+# ---------------------------------------------------------------------------
+
+ROW4 = 64
+
+
+@struct.dataclass
+class Packed4LBVH:
+    """Packed table with *quad-collapsed* leaves: every internal node
+    whose subtree holds <= 4 triangles is rewritten in place as a leaf
+    row carrying all of them inline (its descendants stay in the table
+    but become unreachable — no renumbering, skip links unchanged).
+
+    Generalizes Packed2LBVH's cherry merge one level further: the TPU
+    gather unit is ROW-rate bound independent of row width up to 64
+    floats (scripts/tpu_gather_width.py), so a 4-leaf subtree that used
+    to cost up to 7 row visits (3 internal + 4 leaves) now costs 1 —
+    the 4 extra Moller-Trumbore tests ride the VPU, which is ~10-20x
+    cheaper per element than the gather unit.
+
+    Row layout (64 x f32):
+      internal: [0:3]=bmin [3:6]=bmax [48]=left [49]=skip [50]=0
+      leaf:     [9k : 9k+9] = (p0, e1, e2) of triangle k, k in 0..3
+                [44:48]=face ids (-1 = empty slot, degenerate tri)
+                [49]=skip [50]=1
+
+    With lookahead=True, internal rows instead carry both CHILDREN's
+    boxes ([0:3]=lmin [3:6]=lmax [6:9]=rmin [9:12]=rmax, [48]=left
+    [51]=right [49]=skip): one gather culls both children, so a child
+    whose box misses is never gathered at all. Correctness on skip-entry
+    (arriving at a right sibling whose box was already rejected at the
+    parent) is automatic: child boxes are contained in the parent's, so
+    a ray that missed the parent's box misses both child boxes and the
+    row falls through to its skip link.
+    """
+    rows: jax.Array   # (2N-1, 64) f32
+    lookahead: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.rows.shape[0]
+
+
+def _subtree_ranges(bvh: LBVH):
+    """(cnt, first): per-node subtree leaf count and first leaf rank.
+    Both BVH sources put a subtree's leaves at contiguous ranks (Karras
+    ranges; host DFS preorder), so (first, cnt) identifies the whole
+    subtree. Bottom-up fixpoint like the AABB refit (<= 64 levels)."""
+    n = bvh.num_leaves
+    ni = n - 1
+    total = bvh.num_nodes
+    lc = jnp.clip(bvh.left[:ni], 0, total - 1)
+    rc = jnp.clip(bvh.skip[lc], 0, total - 1)   # right child = skip of left
+
+    cnt0 = jnp.concatenate([jnp.zeros((ni,), jnp.int32),
+                            jnp.ones((n,), jnp.int32)])
+    cnt = jax.lax.fori_loop(
+        0, 64, lambda _, c: c.at[:ni].set(c[lc] + c[rc]), cnt0)
+    first0 = jnp.concatenate([jnp.zeros((ni,), jnp.int32),
+                              jnp.arange(n, dtype=jnp.int32)])
+    first = jax.lax.fori_loop(
+        0, 64, lambda _, f: f.at[:ni].set(f[lc]), first0)
+    return cnt, first
+
+
+def pack_quads(bvh: LBVH, positions: jax.Array, faces: jax.Array,
+               face_valid: jax.Array,
+               lookahead: bool = False) -> Packed4LBVH:
+    """Assemble the quad-collapsed 64-wide table. Pure jnp (jittable,
+    runs under the render jit with traced vertex positions)."""
+    K = 4
+    positions = jax.lax.stop_gradient(positions)
+    n = bvh.num_leaves
+    ni = n - 1
+    total = bvh.num_nodes
+    lf = bvh.leaf_face
+
+    cnt, first = _subtree_ranges(bvh)
+    is_quad = cnt <= K          # all original leaves (cnt=1) included
+
+    # up to K leaf ranks per node; empty slots -> face id -1
+    ranks = jnp.clip(first[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
+                     0, n - 1)
+    fids = lf[ranks]                                   # (total, K)
+    slot_ok = jnp.arange(K, dtype=jnp.int32)[None] < cnt[:, None]
+    ok = slot_ok & face_valid[fids]
+    fids = jnp.where(slot_ok, fids, -1)
+
+    f = faces[jnp.clip(fids, 0, None)]                 # (total, K, 3)
+    p0 = positions[f[..., 0]]
+    e1 = jnp.where(ok[..., None], positions[f[..., 1]] - p0, 0.0)
+    e2 = jnp.where(ok[..., None], positions[f[..., 2]] - p0, 0.0)
+    tri36 = jnp.concatenate([p0, e1, e2], axis=-1).reshape(total, K * 9)
+
+    box36 = jnp.zeros((total, K * 9), jnp.float32)
+    lc = jnp.clip(bvh.left, 0, total - 1)
+    rc = jnp.clip(bvh.skip[lc], 0, total - 1)
+    if lookahead:
+        box36 = box36.at[:, 0:3].set(bvh.bmin[lc])
+        box36 = box36.at[:, 3:6].set(bvh.bmax[lc])
+        box36 = box36.at[:, 6:9].set(bvh.bmin[rc])
+        box36 = box36.at[:, 9:12].set(bvh.bmax[rc])
+    else:
+        box36 = box36.at[:, 0:3].set(bvh.bmin)
+        box36 = box36.at[:, 3:6].set(bvh.bmax)
+
+    rows = jnp.zeros((total, ROW4), jnp.float32)
+    rows = rows.at[:, 0:36].set(jnp.where(is_quad[:, None], tri36, box36))
+    rows = rows.at[:, 44:48].set(_itof(fids))
+    rows = rows.at[:, 48].set(_itof(bvh.left))
+    rows = rows.at[:, 49].set(_itof(bvh.skip))
+    rows = rows.at[:, 50].set(is_quad.astype(jnp.float32))
+    rows = rows.at[:, 51].set(_itof(rc))
+    return Packed4LBVH(rows=rows, lookahead=lookahead)
+
+
+def traverse_wavefront4(pbvh: Packed4LBVH, ro: jax.Array, rd: jax.Array,
+                        t0: jax.Array, active: jax.Array,
+                        unroll: int = 2):
+    """Skip-link walk over the quad-collapsed 64-wide table. Same
+    contract as traverse_wavefront."""
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    face0 = node0 * 0 - 1
+    rows = pbvh.rows
+
+    def _slab(r, base, t_best):
+        tn1 = (r[:, base:base + 3] - ro) * inv
+        tn2 = (r[:, base + 3:base + 6] - ro) * inv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, base:base + 3] <= r[:, base + 3:base + 6],
+                           axis=-1)
+        return (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+
+    def _step(node, t_best, face):
+        r = rows[jnp.clip(node, 0, None)]          # (R, 64) single gather
+        is_leaf = r[:, 50] > 0.5
+
+        tris = r[:, 0:36].reshape(-1, 4, 9)        # (R, 4, 9)
+        hk, tk = _mt(ro[:, None, :], rd[:, None, :], tris[..., 0:3],
+                     tris[..., 3:6], tris[..., 6:9], t_best[:, None])
+        tk = jnp.where(hk, tk, BIG)
+        tmin = jnp.min(tk, axis=1)
+        kbest = jnp.argmin(tk, axis=1)
+        fids = ftoi(r[:, 44:48])                   # (R, 4)
+        fid = jnp.take_along_axis(fids, kbest[:, None], axis=1)[:, 0]
+
+        live = node >= 0
+        take = live & is_leaf & (tmin < t_best)
+        t_best = jnp.where(take, tmin, t_best)
+        face = jnp.where(take, fid, face)
+
+        if pbvh.lookahead:
+            hl = _slab(r, 0, t_best)
+            hr = _slab(r, 6, t_best)
+            nxt_internal = jnp.where(
+                hl, ftoi(r[:, 48]),
+                jnp.where(hr, ftoi(r[:, 51]), ftoi(r[:, 49])))
+        else:
+            hit_box = _slab(r, 0, t_best)
+            nxt_internal = jnp.where(hit_box, ftoi(r[:, 48]),
+                                     ftoi(r[:, 49]))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 49]), nxt_internal)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face
+
+    def body(state):
+        node, t_best, face = state
+        for _ in range(unroll):
+            node, t_best, face = _step(node, t_best, face)
+        return node, t_best, face
+
+    _, t_best, face = jax.lax.while_loop(
+        lambda s: jnp.any(s[0] >= 0), body, (node0, t0, face0))
+    return t_best, face
+
+
 def _mt(ro, rd, p0, e1, e2, t_best, eps=1e-8):
     """Branchless Moller-Trumbore: returns (hit, t)."""
     pvec = jnp.cross(rd, e2)

@@ -202,8 +202,10 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
     additionally compacts the wavefront (sort_wavefront) so dead tiles
     exit immediately. mode="compact" uses the multi-phase compacting
     full-wavefront walk instead of tiling (fastest measured)."""
-    from .packed import (Packed2LBVH, traverse_wavefront,
-                         traverse_wavefront2, traverse_wavefront_compact)
+    from .packed import (Packed2LBVH, Packed4LBVH, PackedLALBVH,
+                         traverse_wavefront, traverse_wavefront2,
+                         traverse_wavefront4, traverse_wavefront_la,
+                         traverse_wavefront_compact)
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
     ts, si = _closest_sphere(scene, ro, rd)
     shape = ro.shape[:-1]
@@ -214,7 +216,9 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
               else active.reshape(-1))
     n = flat_o.shape[0]
     is2 = isinstance(pbvh, Packed2LBVH)
-    if mode == "compact" and not is2:
+    is4 = isinstance(pbvh, Packed4LBVH)
+    isla = isinstance(pbvh, PackedLALBVH)
+    if mode == "compact" and not (is2 or is4 or isla):
         t_best, face = traverse_wavefront_compact(pbvh, flat_o, flat_d,
                                                   flat_t, flat_a)
         t_best = t_best.reshape(shape)
@@ -241,7 +245,9 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
                 [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
             flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
             flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
-        trav = traverse_wavefront2 if is2 else traverse_wavefront
+        trav = (traverse_wavefront4 if is4
+                else traverse_wavefront_la if isla
+                else traverse_wavefront2 if is2 else traverse_wavefront)
         t_best, face = jax.lax.map(
             lambda args: trav(pbvh, *args, unroll=unroll),
             (flat_o.reshape(-1, tile, 3), flat_d.reshape(-1, tile, 3),
@@ -249,7 +255,9 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
         t_best = t_best.reshape(-1)[:n]
         face = face.reshape(-1)[:n]
     else:
-        trav = traverse_wavefront2 if is2 else traverse_wavefront
+        trav = (traverse_wavefront4 if is4
+                else traverse_wavefront_la if isla
+                else traverse_wavefront2 if is2 else traverse_wavefront)
         t_best, face = trav(pbvh, flat_o, flat_d, flat_t,
                             flat_a, unroll=unroll)
     if inv is not None:

@@ -230,8 +230,14 @@ class RenderConfig:
                                 # in "tiled" mode
     leaf_tris: int = 1          # triangles per packed-BVH leaf row for
                                 # backend "bvh": 2 = cherry-merged 32-wide
-                                # rows (fewer row gathers per ray; the
+                                # rows, 4 = quad-collapsed 64-wide rows
+                                # (fewer row gathers per ray; the
                                 # gather unit is row-rate bound)
+    node_lookahead: bool = False  # internal rows carry both children's
+                                # boxes so one gather culls both children
+                                # (missed children are never gathered);
+                                # with leaf_tris=1 the table stays
+                                # 16-wide (VMEM-resident at bunny scale)
     ray_sort: bool = False      # stable-compact each wavefront (alive
                                 # first) before tiled traversal so dead
                                 # tiles exit immediately; only useful in

@@ -78,12 +78,14 @@ def make_finder(scene: Scene, cfg: RenderConfig,
     if backend in ("bvh", "bvh2", "bvh4"):
         # "bvh"/"bvh2": binary packed skip-link walk (fastest measured);
         # "bvh4": wide ordered-stack variant
-        from ..accel.packed import (Packed2LBVH, PackedLBVH, pack,
-                                    pack_cherries)
+        from ..accel.packed import (Packed2LBVH, Packed4LBVH, PackedLALBVH,
+                                    PackedLBVH, pack, pack_cherries,
+                                    pack_lookahead, pack_quads)
         from ..accel.wide import WideBVH, collapse
         if isinstance(bvh, WideBVH):
             return partial(_wide_finder, bvh, cfg.traversal_tile)
-        if isinstance(bvh, (PackedLBVH, Packed2LBVH)):
+        if isinstance(bvh, (PackedLBVH, Packed2LBVH, Packed4LBVH,
+                            PackedLALBVH)):
             return partial(_packed_finder, bvh, cfg.traversal_tile,
                            cfg.traversal_unroll, cfg.ray_sort,
                            cfg.traversal_mode)
@@ -96,7 +98,14 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             wbvh = collapse(the_bvh, scene.mesh.positions, scene.mesh.faces,
                             scene.mesh.face_valid)
             return partial(_wide_finder, wbvh, cfg.traversal_tile)
-        packer = pack_cherries if cfg.leaf_tris >= 2 else pack
+        if cfg.leaf_tris >= 4:
+            packer = partial(pack_quads, lookahead=cfg.node_lookahead)
+        elif cfg.leaf_tris >= 2:
+            packer = pack_cherries
+        elif cfg.node_lookahead:
+            packer = pack_lookahead
+        else:
+            packer = pack
         pbvh = packer(the_bvh, scene.mesh.positions, scene.mesh.faces,
                       scene.mesh.face_valid)
         return partial(_packed_finder, pbvh, cfg.traversal_tile,

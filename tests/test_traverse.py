@@ -246,6 +246,46 @@ def test_packed2_cherry_matches_bruteforce(rng):
                               rtol=1e-6)).all()
 
 
+def test_packed4_quad_matches_bruteforce(rng):
+    """Quad-collapsed 4-triangle-leaf table (accel.packed.pack_quads +
+    traverse_wavefront4) agrees with the brute-force oracle."""
+    from raypt.accel import find_closest_packed
+    from raypt.accel.packed import pack_quads
+    scene = _scene(rng, ntri=300, nsph=3)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    ro, rd = _rays(rng, 2048)
+    a = find_closest_bruteforce(scene, ro, rd)
+    for lookahead in (False, True):
+        p4 = pack_quads(bvh, scene.mesh.positions, scene.mesh.faces,
+                        scene.mesh.face_valid, lookahead=lookahead)
+        b = find_closest_packed(scene, p4, ro, rd, tile=512)
+        assert np.allclose(np.asarray(a.t), np.asarray(b.t),
+                           rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+        same = np.asarray(a.tri) == np.asarray(b.tri)
+        assert (same | np.isclose(np.asarray(a.t), np.asarray(b.t),
+                                  rtol=1e-6)).all()
+
+
+def test_packed_lookahead_matches_bruteforce(rng):
+    """16-wide lookahead table (accel.packed.pack_lookahead +
+    traverse_wavefront_la) agrees with the brute-force oracle."""
+    from raypt.accel import find_closest_packed
+    from raypt.accel.packed import pack_lookahead
+    scene = _scene(rng, ntri=300, nsph=3)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    pla = pack_lookahead(bvh, scene.mesh.positions, scene.mesh.faces,
+                         scene.mesh.face_valid)
+    ro, rd = _rays(rng, 2048)
+    a = find_closest_bruteforce(scene, ro, rd)
+    b = find_closest_packed(scene, pla, ro, rd, tile=512)
+    assert np.allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+    same = np.asarray(a.tri) == np.asarray(b.tri)
+    assert (same | np.isclose(np.asarray(a.t), np.asarray(b.t),
+                              rtol=1e-6)).all()
+
+
 def test_leaf_tris2_render_matches_leaf_tris1(rng):
     """backend='bvh' with leaf_tris=2 renders the same image as the
     singleton-leaf layout (same intersections, different gather shape)."""
@@ -259,12 +299,13 @@ def test_leaf_tris2_render_matches_leaf_tris1(rng):
     bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
     key = sample_key(frame_key(jax.random.key(3), 0), 0)
     imgs = []
-    for lt in (1, 2):
+    for lt in (1, 2, 4):
         cfg = RenderConfig(width=32, height=32, samples_per_pixel=1,
                            num_bounces=4, backend="bvh", leaf_tris=lt)
         finder = make_finder(scene, cfg, bvh)
         imgs.append(np.asarray(render_sample(scene, cfg, key, finder)))
     assert np.allclose(imgs[0], imgs[1], rtol=1e-4, atol=1e-5)
+    assert np.allclose(imgs[0], imgs[2], rtol=1e-4, atol=1e-5)
 
 
 def test_spherefree_scene_renders(rng):
