@@ -630,7 +630,114 @@ def traverse_wavefront2(pbvh: Packed2LBVH, ro: jax.Array, rd: jax.Array,
     return t_best, face
 
 
-def traverse_wavefront_compact(pbvh: PackedLBVH, ro: jax.Array,
+def _make_step(pbvh, eps=1e-8):
+    """Build a traversal step fn (node, t_best, face, o, d, iv) -> same,
+    dispatching on the packed-table layout. Used by the compacting walk
+    (which permutes rays between phases, so o/d/iv are arguments)."""
+    rows = pbvh.rows
+
+    def slab(r, base, o, iv, t_best):
+        tn1 = (r[:, base:base + 3] - o) * iv
+        tn2 = (r[:, base + 3:base + 6] - o) * iv
+        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
+        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
+        nonempty = jnp.all(r[:, base:base + 3] <= r[:, base + 3:base + 6],
+                           axis=-1)
+        return (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
+
+    if isinstance(pbvh, Packed4LBVH):
+        la = pbvh.lookahead
+
+        def step4(node, t_best, face, o, d, iv):
+            r = rows[jnp.clip(node, 0, None)]
+            is_leaf = r[:, 50] > 0.5
+            tris = r[:, 0:36].reshape(-1, 4, 9)
+            hk, tk = _mt(o[:, None, :], d[:, None, :], tris[..., 0:3],
+                         tris[..., 3:6], tris[..., 6:9], t_best[:, None])
+            tk = jnp.where(hk, tk, BIG)
+            tmin = jnp.min(tk, axis=1)
+            kbest = jnp.argmin(tk, axis=1)
+            fid = jnp.take_along_axis(ftoi(r[:, 44:48]), kbest[:, None],
+                                      axis=1)[:, 0]
+            live = node >= 0
+            take = live & is_leaf & (tmin < t_best)
+            t_best = jnp.where(take, tmin, t_best)
+            face = jnp.where(take, fid, face)
+            if la:
+                hl = slab(r, 0, o, iv, t_best)
+                hr = slab(r, 6, o, iv, t_best)
+                nxt_i = jnp.where(hl, ftoi(r[:, 48]),
+                                  jnp.where(hr, ftoi(r[:, 51]),
+                                            ftoi(r[:, 49])))
+            else:
+                nxt_i = jnp.where(slab(r, 0, o, iv, t_best),
+                                  ftoi(r[:, 48]), ftoi(r[:, 49]))
+            nxt = jnp.where(is_leaf, ftoi(r[:, 49]), nxt_i)
+            node = jnp.where(live, nxt, node)
+            return node, t_best, face
+
+        return step4
+
+    if isinstance(pbvh, PackedLALBVH):
+        def step_la(node, t_best, face, o, d, iv):
+            r = rows[jnp.clip(node, 0, None)]
+            is_leaf = r[:, 14] > 0.5
+            hit, t = _mt(o, d, r[:, 0:3], r[:, 3:6], r[:, 6:9], t_best)
+            live = node >= 0
+            take = live & is_leaf & hit
+            t_best = jnp.where(take, t, t_best)
+            face = jnp.where(take, ftoi(r[:, 12]), face)
+            hl = slab(r, 0, o, iv, t_best)
+            hr = slab(r, 6, o, iv, t_best)
+            nxt_i = jnp.where(hl, ftoi(r[:, 12]),
+                              jnp.where(hr, ftoi(r[:, 15]), ftoi(r[:, 13])))
+            nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_i)
+            node = jnp.where(live, nxt, node)
+            return node, t_best, face
+
+        return step_la
+
+    if isinstance(pbvh, Packed2LBVH):
+        def step2(node, t_best, face, o, d, iv):
+            r = rows[jnp.clip(node, 0, None)]
+            is_leaf = r[:, 21] > 0.5
+            hit_box = slab(r, 0, o, iv, t_best)
+            ha, ta = _mt(o, d, r[:, 0:3], r[:, 3:6], r[:, 6:9], t_best)
+            hb, tb = _mt(o, d, r[:, 9:12], r[:, 12:15], r[:, 15:18], t_best)
+            ta = jnp.where(ha, ta, BIG)
+            tb = jnp.where(hb, tb, BIG)
+            b_wins = tb < ta
+            tmin = jnp.where(b_wins, tb, ta)
+            fid = jnp.where(b_wins, ftoi(r[:, 19]), ftoi(r[:, 18]))
+            live = node >= 0
+            take = live & is_leaf & (tmin < t_best)
+            t_best = jnp.where(take, tmin, t_best)
+            face = jnp.where(take, fid, face)
+            nxt_i = jnp.where(hit_box, ftoi(r[:, 18]), ftoi(r[:, 20]))
+            nxt = jnp.where(is_leaf, ftoi(r[:, 20]), nxt_i)
+            node = jnp.where(live, nxt, node)
+            return node, t_best, face
+
+        return step2
+
+    def step1(node, t_best, face, o, d, iv):
+        r = rows[jnp.clip(node, 0, None)]
+        is_leaf = r[:, 14] > 0.5
+        hit_box = slab(r, 0, o, iv, t_best)
+        hit, t = _mt(o, d, r[:, 0:3], r[:, 3:6], r[:, 6:9], t_best)
+        live = node >= 0
+        take = live & is_leaf & hit
+        t_best = jnp.where(take, t, t_best)
+        face = jnp.where(take, ftoi(r[:, 12]), face)
+        nxt_i = jnp.where(hit_box, ftoi(r[:, 12]), ftoi(r[:, 13]))
+        nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_i)
+        node = jnp.where(live, nxt, node)
+        return node, t_best, face
+
+    return step1
+
+
+def traverse_wavefront_compact(pbvh, ro: jax.Array,
                                rd: jax.Array, t0: jax.Array,
                                active: jax.Array,
                                phase_steps=(24, 24, 24, 32),
@@ -658,41 +765,11 @@ def traverse_wavefront_compact(pbvh: PackedLBVH, ro: jax.Array,
 
     Returns (t_best (R,), face (R,) int32, -1 = none)."""
     R = ro.shape[0]
-    eps = 1e-8
 
     safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
                      jnp.where(rd >= 0, 1e-12, -1e-12))
     inv = 1.0 / safe
-    rows = pbvh.rows
-
-    def _step(node, t_best, face, o, d, iv):
-        r = rows[jnp.clip(node, 0, None)]
-        is_leaf = r[:, 14] > 0.5
-        tn1 = (r[:, 0:3] - o) * iv
-        tn2 = (r[:, 3:6] - o) * iv
-        tnear = jnp.max(jnp.minimum(tn1, tn2), axis=-1)
-        tfar = jnp.min(jnp.maximum(tn1, tn2), axis=-1)
-        nonempty = jnp.all(r[:, 0:3] <= r[:, 3:6], axis=-1)
-        hit_box = (tfar >= tnear) & (tnear < t_best) & (tfar > 0.0) & nonempty
-        pvec = jnp.cross(d, r[:, 6:9])
-        det = jnp.sum(r[:, 3:6] * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > eps, 1.0, 0.0) / jnp.where(
-            jnp.abs(det) > eps, det, 1.0)
-        tvec = o - r[:, 0:3]
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, r[:, 3:6])
-        v = jnp.sum(d * qvec, axis=-1) * inv_det
-        t = jnp.sum(r[:, 6:9] * qvec, axis=-1) * inv_det
-        tri_hit = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0)
-                   & (u + v <= 1.0) & (t > 0.0) & (t < t_best))
-        live = node >= 0
-        take = live & is_leaf & tri_hit
-        t_best = jnp.where(take, t, t_best)
-        face = jnp.where(take, ftoi(r[:, 12]), face)
-        nxt_internal = jnp.where(hit_box, ftoi(r[:, 12]), ftoi(r[:, 13]))
-        nxt = jnp.where(is_leaf, ftoi(r[:, 13]), nxt_internal)
-        node = jnp.where(live, nxt, node)
-        return node, t_best, face
+    _step = _make_step(pbvh)
 
     # full-wavefront state; `idx` tracks each row's original ray id
     node = jnp.where(active, 0, -1).astype(jnp.int32)

@@ -218,7 +218,7 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
     is2 = isinstance(pbvh, Packed2LBVH)
     is4 = isinstance(pbvh, Packed4LBVH)
     isla = isinstance(pbvh, PackedLALBVH)
-    if mode == "compact" and not (is2 or is4 or isla):
+    if mode == "compact":
         t_best, face = traverse_wavefront_compact(pbvh, flat_o, flat_d,
                                                   flat_t, flat_a)
         t_best = t_best.reshape(shape)

@@ -1,8 +1,10 @@
 """Sweep packed-leaf arity (1/2/4 triangles per leaf row) on the bench
 workload: bunny 1024^2 fwd, 4 bounces, SAH tree (same as bench.py)."""
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/raypt_xla_cache")
 import jax
 import jax.numpy as jnp

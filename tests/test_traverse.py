@@ -286,6 +286,29 @@ def test_packed_lookahead_matches_bruteforce(rng):
                               rtol=1e-6)).all()
 
 
+def test_compact_mode_matches_bruteforce_all_layouts(rng):
+    """The multi-phase compacting walk (mode='compact') agrees with the
+    brute-force oracle for every packed layout (1/2/4-tri leaves,
+    lookahead internals)."""
+    from raypt.accel import find_closest_packed
+    from raypt.accel.packed import (pack, pack_cherries, pack_lookahead,
+                                    pack_quads)
+    from functools import partial
+    scene = _scene(rng, ntri=300, nsph=3)
+    bvh = build(scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
+    ro, rd = _rays(rng, 2048)
+    a = find_closest_bruteforce(scene, ro, rd)
+    args = (bvh, scene.mesh.positions, scene.mesh.faces,
+            scene.mesh.face_valid)
+    for packer in (pack, pack_cherries, pack_lookahead, pack_quads,
+                   partial(pack_quads, lookahead=True)):
+        pb = packer(*args)
+        b = find_closest_packed(scene, pb, ro, rd, mode="compact")
+        assert np.allclose(np.asarray(a.t), np.asarray(b.t),
+                           rtol=1e-5, atol=1e-5), packer
+        assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+
+
 def test_leaf_tris2_render_matches_leaf_tris1(rng):
     """backend='bvh' with leaf_tris=2 renders the same image as the
     singleton-leaf layout (same intersections, different gather shape)."""
