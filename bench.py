@@ -29,6 +29,9 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", 4))
 SPP = int(os.environ.get("BENCH_SPP", 1))
 REPS = int(os.environ.get("BENCH_REPS", 3))
+# traversal-layout overrides (defaults = RenderConfig defaults)
+LEAF_TRIS = int(os.environ.get("BENCH_LEAF_TRIS", 1))
+LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 
 
 def main():
@@ -58,7 +61,8 @@ def main():
     scene = builder.freeze()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples_per_pixel=SPP,
                        num_bounces=BOUNCES, backend="bvh",
-                       russian_roulette=True)
+                       russian_roulette=True,
+                       leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD)
     bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
     if bvh is None:
         bvh = build(scene.mesh.positions, scene.mesh.faces,
