@@ -274,10 +274,15 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
 
 
 def find_closest_wide(scene: Scene, wbvh, ro, rd, active=None,
-                      tile: int = 0) -> HitIds:
+                      tile: int = 0, stack_d: int = 0) -> HitIds:
     """Wide-BVH (4-ary, fat-leaf, ordered-stack) closest hit — the fast
-    TPU path (accel.wide). Same contract as find_closest_packed."""
-    from .wide import traverse_wide
+    TPU path (accel.wide). Same contract as find_closest_packed.
+
+    Stack-overflow guard: rays whose per-ray stack dropped a subtree are
+    re-traversed with a 4x deeper stack under `lax.cond`, so the retry
+    is free when nothing overflows and correct when something does."""
+    from .wide import STACK_D, traverse_wide
+    stack_d = stack_d or STACK_D
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
     ts, si = _closest_sphere(scene, ro, rd)
     shape = ro.shape[:-1]
@@ -295,14 +300,28 @@ def find_closest_wide(scene: Scene, wbvh, ro, rd, active=None,
                 [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
             flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
             flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
-        t_best, face = jax.lax.map(
-            lambda args: traverse_wide(wbvh, *args),
+        t_best, face, ovf = jax.lax.map(
+            lambda args: traverse_wide(wbvh, *args, stack_d=stack_d),
             (flat_o.reshape(-1, tile, 3), flat_d.reshape(-1, tile, 3),
              flat_t.reshape(-1, tile), flat_a.reshape(-1, tile)))
-        t_best = t_best.reshape(-1)[:n]
-        face = face.reshape(-1)[:n]
+        t_best = t_best.reshape(-1)
+        face = face.reshape(-1)
+        ovf = ovf.reshape(-1)
     else:
-        t_best, face = traverse_wide(wbvh, flat_o, flat_d, flat_t, flat_a)
+        t_best, face, ovf = traverse_wide(wbvh, flat_o, flat_d, flat_t,
+                                          flat_a, stack_d=stack_d)
+
+    def _retry(_):
+        t2, f2, _ = traverse_wide(wbvh, flat_o, flat_d, flat_t,
+                                  flat_a & ovf, stack_d=4 * stack_d)
+        return t2, f2
+
+    def _keep(_):
+        return jnp.full_like(t_best, BIG), jnp.full_like(face, -1)
+
+    t2, f2 = jax.lax.cond(jnp.any(ovf), _retry, _keep, None)
+    t_best = jnp.where(ovf, t2, t_best)[:n]
+    face = jnp.where(ovf, f2, face)[:n]
     t_best = t_best.reshape(shape)
     face = face.reshape(shape)
     tri_wins = face >= 0
@@ -336,13 +355,19 @@ def find_closest_dense(scene: Scene, woop, ro, rd, active=None,
 
 
 def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
-                         use_pallas: bool = True) -> HitIds:
+                         use_pallas: bool = True, cap: int = 0) -> HitIds:
     """Two-level dense-culled cluster finder (accel.clusters +
     kernels.cluster_pallas): per-tile cluster worklists by dense box
     testing, then dense per-cluster intersection. No per-ray pointer
-    chasing at all."""
+    chasing at all.
+
+    Worklist-overflow guard: a tile touching more than `cap` clusters
+    gets a truncated (nearest-first) worklist, which could silently miss
+    a hit — those tiles are re-intersected against EVERY cluster under
+    `lax.cond`, so the fallback costs nothing when no tile overflows."""
     from .clusters import WORKLIST_CAP, intersect_worklist_jnp, tile_worklists
     from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
+    cap = cap or WORKLIST_CAP
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
     ts, si = _closest_sphere(scene, ro, rd)
     shape = ro.shape[:-1]
@@ -361,8 +386,8 @@ def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
         flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
     # dead rays contribute no clusters and accept no hits
     seed = jnp.where(flat_a, flat_t, -BIG)
-    wl, cnt, _overflow = tile_worklists(clusters, flat_o, flat_d, seed,
-                                        tile=TILE, cap=WORKLIST_CAP)
+    wl, cnt, overflow = tile_worklists(clusters, flat_o, flat_d, seed,
+                                       tile=TILE, cap=cap)
     if use_pallas:
         rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
         t_best, face = pallas_cluster_intersect(wl, cnt, rows_cm, flat_o,
@@ -371,6 +396,26 @@ def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
     else:
         t_best, face = intersect_worklist_jnp(clusters, wl, cnt, flat_o,
                                               flat_d, seed, tile=TILE)
+
+    n_tiles = flat_o.shape[0] // TILE
+    c_total = clusters.num_clusters
+
+    def _full_scan(_):
+        # exhaustive worklist = every cluster, for every tile (only the
+        # overflowed tiles' results are kept by the caller)
+        wl_full = jnp.broadcast_to(
+            jnp.arange(c_total, dtype=jnp.int32)[None, :], (n_tiles, c_total))
+        cnt_full = jnp.full((n_tiles,), c_total, jnp.int32)
+        return intersect_worklist_jnp(clusters, wl_full, cnt_full, flat_o,
+                                      flat_d, seed, tile=TILE)
+
+    def _keep(_):
+        return jnp.full_like(t_best, BIG), jnp.full_like(face, -1)
+
+    t_fb, f_fb = jax.lax.cond(jnp.any(overflow), _full_scan, _keep, None)
+    ov_ray = jnp.repeat(overflow, TILE)
+    t_best = jnp.where(ov_ray, t_fb, t_best)
+    face = jnp.where(ov_ray, f_fb, face)
     t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
     face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
     tri_wins = face >= 0

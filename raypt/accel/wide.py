@@ -39,9 +39,12 @@ from .lbvh import LBVH
 
 ROW = 64
 LEAF_K = 4      # triangles per leaf block
-STACK_D = 64    # worst-case pending entries (<= 3 per descended level;
+STACK_D = 64    # default pending-entry budget (<= 3 per descended level;
                 # wide depth ~ log2(N)/2, so 64 covers multi-million-tri
-                # scenes; overflow would silently drop farthest subtrees)
+                # scenes). Overflow is NOT silent: traverse_wide reports
+                # a per-ray overflow flag and find_closest_wide retries
+                # flagged rays with a 4x deeper stack (lax.cond, so the
+                # retry costs nothing when no ray overflows).
 
 
 @struct.dataclass
@@ -181,10 +184,13 @@ def collapse(bvh: LBVH, positions: jax.Array, faces: jax.Array,
 
 
 def traverse_wide(w: WideBVH, ro: jax.Array, rd: jax.Array,
-                  t0: jax.Array, active: jax.Array):
+                  t0: jax.Array, active: jax.Array,
+                  stack_d: int = STACK_D):
     """Ordered stack traversal over a wavefront. ro/rd (R,3) rd
     normalized; t0 (R,) initial best (sphere seeding); active (R,).
-    Returns (t_best, face_id)."""
+    Returns (t_best, face_id, overflow) — overflow (R,) bool marks rays
+    whose stack dropped a pending subtree (result may miss a hit; the
+    caller must retry those with a deeper stack)."""
     eps = 1e-8
     nw = w.nw_cap
     rows = w.rows
@@ -196,17 +202,18 @@ def traverse_wide(w: WideBVH, ro: jax.Array, rd: jax.Array,
 
     node0 = jnp.where(active, w.root, -1).astype(jnp.int32)
     zero_i = (rd[:, 0] * 0.0).astype(jnp.int32)
-    stack0 = jnp.zeros((R, STACK_D), jnp.int32) + zero_i[:, None]
+    stack0 = jnp.zeros((R, stack_d), jnp.int32) + zero_i[:, None]
     sp0 = zero_i
     face0 = zero_i - 1
-    d_lane = jnp.arange(STACK_D, dtype=jnp.int32)[None, :]
+    ovf0 = zero_i > 0   # all-false, varying-typed under shard_map
+    d_lane = jnp.arange(stack_d, dtype=jnp.int32)[None, :]
 
     def cond(state):
         node = state[0]
         return jnp.any(node >= 0)
 
     def body(state):
-        node, sp, stack, t_best, face = state
+        node, sp, stack, t_best, face, ovf = state
         live = node >= 0
         r = rows[jnp.clip(node, 0, None)]              # (R, 64)
         is_leaf = node >= nw
@@ -241,10 +248,13 @@ def traverse_wide(w: WideBVH, ro: jax.Array, rd: jax.Array,
             tn, cid = cswap(tn, cid, a, b)
         hit = tn < jnp.inf                                              # (R,4)
 
-        # push entries 3,2,1 (farthest first) where hit
+        # push entries 3,2,1 (farthest first) where hit; a push at
+        # sp >= stack_d has no lane to land on — record it as overflow
+        # instead of silently dropping the subtree
         can_push = live & ~is_leaf
         for k in (3, 2, 1):
             do = can_push & hit[:, k]
+            ovf = ovf | (do & (sp >= stack_d))
             oh = (d_lane == sp[:, None]) & do[:, None]
             stack = jnp.where(oh, cid[:, k][:, None], stack)
             sp = sp + do.astype(jnp.int32)
@@ -285,8 +295,8 @@ def traverse_wide(w: WideBVH, ro: jax.Array, rd: jax.Array,
                          jnp.where(can_pop, popped, -1))
         node = jnp.where(live, node, -1)
         sp = jnp.where(can_pop, sp_pop, sp)
-        return node, sp, stack, t_best, face
+        return node, sp, stack, t_best, face, ovf
 
-    _, _, _, t_best, face = jax.lax.while_loop(
-        cond, body, (node0, sp0, stack0, t0 + rd[:, 0] * 0.0, face0))
-    return t_best, face
+    _, _, _, t_best, face, ovf = jax.lax.while_loop(
+        cond, body, (node0, sp0, stack0, t0 + rd[:, 0] * 0.0, face0, ovf0))
+    return t_best, face, ovf

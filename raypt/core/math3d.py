@@ -59,28 +59,31 @@ def lerp(a, b, t):
 # Intersections
 # ---------------------------------------------------------------------------
 
-def intersect_sphere(ro, rd, center, radius):
-    """Ray/sphere intersection, glm::intersectRaySphere semantics
-    (used at main_raytracing.cu:94 with radius^2 passed in).
+GLM_EPS = 1.1920929e-07  # std::numeric_limits<float>::epsilon()
 
-    Returns (hit, t): nearest positive root; glm returns false when the
-    nearest root is <= 0 (inside/behind cases return the far root only
-    if... glm rejects when distance < 0 entirely after picking the
-    smaller root; we mirror that: t = (-b - sqrt(disc)), hit iff
-    disc > 0 and t > 0).
+
+def intersect_sphere(ro, rd, center, radius):
+    """Ray/sphere intersection, exact glm::intersectRaySphere semantics
+    (glm/gtx/intersect.inl:135-154, used at main_raytracing.cu:94).
+
+    glm form: t0 = dot(center - ro, rd); dSq = |center - ro|^2 - t0^2;
+    miss if dSq > r^2; half-chord t1 = sqrt(r^2 - dSq);
+    t = (t0 > t1 + eps) ? t0 - t1 : t0 + t1   (far root when the ray
+    starts inside or on the sphere — interiors ARE hit); hit iff t > eps.
 
     Batched over leading dims of every operand.
     """
-    oc = ro - center
-    b = dot(oc, rd)                       # rd normalized => a == 1
-    c = dot(oc, oc) - radius * radius
-    disc = b * b - c
+    diff = center - ro
+    t0 = dot(diff, rd)                    # rd normalized => a == 1
+    d2 = dot(diff, diff) - t0 * t0
+    r2 = radius * radius
+    within = d2 <= r2
     # safe-where: sqrt'(0) = inf would leak NaN through the miss branch
-    # of jnp.where under reverse-mode AD, so clamp the unselected lane.
-    pos_disc = disc > 0.0
-    sq = jnp.sqrt(jnp.where(pos_disc, disc, 1.0))
-    t = -b - sq
-    hit = pos_disc & (t > 0.0)
+    # of jnp.where under reverse-mode AD, so clamp the unselected lane
+    # (and the tangent case) away from zero.
+    t1 = jnp.sqrt(jnp.where(within, jnp.maximum(r2 - d2, EPS * EPS), 1.0))
+    t = jnp.where(t0 > t1 + GLM_EPS, t0 - t1, t0 + t1)
+    hit = within & (t > GLM_EPS)
     return hit, jnp.where(hit, t, BIG)
 
 

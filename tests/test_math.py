@@ -29,16 +29,30 @@ def test_intersect_sphere_basic():
     # miss
     hit, t = m.intersect_sphere(ro, jnp.array([0.0, 1.0, 0.0]), jnp.zeros(3), 1.0)
     assert not bool(hit) and float(t) >= 1e29
-    # behind the origin -> reject (glm parity, nearest root < 0)
+    # sphere entirely behind the origin -> reject (far root also < 0)
     hit, _ = m.intersect_sphere(jnp.array([0.0, 0.0, -5.0]), rd, jnp.zeros(3), 1.0)
     assert not bool(hit)
 
 
 def test_intersect_sphere_inside():
-    # glm::intersectRaySphere rejects when the near root is negative
-    hit, _ = m.intersect_sphere(jnp.zeros(3), jnp.array([0.0, 0.0, 1.0]),
+    """glm::intersectRaySphere returns the FAR root for rays starting
+    inside/on the sphere (glm/gtx/intersect.inl:135-154: distance =
+    t0 > t1 + eps ? t0 - t1 : t0 + t1), so interiors ARE hit — a camera
+    inside a sphere sees its inner surface."""
+    # center start: exits at the far side, t = radius
+    hit, t = m.intersect_sphere(jnp.zeros(3), jnp.array([0.0, 0.0, 1.0]),
                                 jnp.zeros(3), 1.0)
-    assert not bool(hit)
+    assert bool(hit) and np.isclose(float(t), 1.0, atol=1e-5)
+    # off-center inside start
+    hit, t = m.intersect_sphere(jnp.array([0.0, 0.0, 0.5]),
+                                jnp.array([0.0, 0.0, 1.0]),
+                                jnp.zeros(3), 1.0)
+    assert bool(hit) and np.isclose(float(t), 0.5, atol=1e-5)
+    # inside start moving away from center still hits the shell behind
+    hit, t = m.intersect_sphere(jnp.array([0.0, 0.0, 0.5]),
+                                jnp.array([0.0, 0.0, -1.0]),
+                                jnp.zeros(3), 1.0)
+    assert bool(hit) and np.isclose(float(t), 1.5, atol=1e-5)
 
 
 def test_intersect_triangle_hit_and_bary():
