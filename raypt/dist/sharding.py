@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..accel import lbvh as lbvh_mod
 from ..core.types import RenderConfig, Scene
 from ..render.integrator import (Finder, make_finder, pixel_id_grid,
-                                 render_sample)
+                                 render_sample, resolve_backend)
 from ..rng import frame_key, sample_key
 
 
@@ -74,9 +74,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, key: jax.Array,
     """One progressive frame with rows sharded over mesh axis 'tiles'.
     Returns the full (H, W, 3) radiance image (sharded device output;
     bitwise equal to the single-device `render_frame`)."""
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "bvh" if (bvh is not None or scene.mesh.num_faces >= 64) else "bruteforce"
+    backend = resolve_backend(scene, cfg, bvh)
     if backend == "bvh" and bvh is None:
         bvh = lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
                              scene.mesh.face_valid)

@@ -134,14 +134,33 @@ class DDSError(ValueError):
     pass
 
 
-def load_dds(path_or_bytes):
+# DXGI formats whose texture objects the reference creates with
+# cudaReadModeSRGB semantics (CUDATexture.cpp:137 sets sRGB on the
+# texture description; these are the *_UNORM_SRGB ids from its
+# format table, CUDATexture.cpp:9-75)
+_DXGI_SRGB = {29, 91, 72, 75, 78, 99}
+
+
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """IEC 61966-2-1 decode, the transform CUDA's cudaReadModeSRGB
+    applies in the texture unit (reference: CUDATexture.cpp:137)."""
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92,
+                    ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def load_dds(path_or_bytes, srgb=None):
     """Load a DDS file -> dict:
       data: float32 array, (6, H, W, 4) for cubemaps else (H, W, 4)
-            (mip 0 only; mips are trivially derivable on TPU)
-      is_cube: bool, mips: int
-    uint8 sources are returned linearly scaled to [0,1] (no sRGB
-    transform — caller decides, as the reference does via the sRGB
-    texture flag, CUDATexture.cpp:137)."""
+            (mip 0)
+      mip_data: list of per-level arrays (same layout, halving sizes) —
+            the full stored mip chain, matching the reference's per-mip
+            upload (CUDATexture.cpp:112-172)
+      is_cube: bool, mips: int, srgb: bool (whether decode was applied)
+    uint8 sources are scaled to [0,1]; sRGB decode to linear is applied
+    when the format is a *_SRGB DXGI variant (the reference flags those
+    textures sRGB, CUDATexture.cpp:137) or when srgb=True is passed;
+    srgb=False forces it off."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = bytes(path_or_bytes)
     else:
@@ -158,10 +177,12 @@ def load_dds(path_or_bytes):
     is_cube = bool(caps2 & DDSCAPS2_CUBEMAP)
     offset = 128
 
+    fmt_srgb = False
     if pf_flags & DDPF_FOURCC and fourcc == b"DX10":
         dxgi, dim, misc, array_size, _ = struct.unpack("<5I", raw[128:148])
         offset = 148
         is_cube = is_cube or bool(misc & 0x4)
+        fmt_srgb = dxgi in _DXGI_SRGB
         if dxgi in _DXGI_BC:
             kind, ch = _DXGI_BC[dxgi], 4
         elif dxgi in _DXGI:
@@ -205,39 +226,51 @@ def load_dds(path_or_bytes):
             return w * h * bpp
 
     faces = 6 if is_cube else 1
-    out = []
+    out = [[] for _ in range(mips)]   # mip-major collection
     for _face in range(faces):
         w, h = width, height
-        face_img = None
         for m in range(mips):
             nbytes = mip_bytes(w, h)
-            if m == 0:
-                buf = raw[offset:offset + nbytes]
-                if is_bc:
-                    face_img = _decode_bc(buf, w, h, kind)
-                else:
-                    face_img = np.frombuffer(buf, npdtype).reshape(h, w, ch)
+            buf = raw[offset:offset + nbytes]
+            if is_bc:
+                img = _decode_bc(buf, w, h, kind)
+            else:
+                img = np.frombuffer(buf, npdtype).reshape(h, w, ch)
+            out[m].append(img)
             offset += nbytes
             w = max(w // 2, 1)
             h = max(h // 2, 1)
-        out.append(face_img)
 
-    arr = np.stack(out) if is_cube else out[0]
-    arr = arr.astype(np.float32)
-    if not is_bc and npdtype == np.uint8:
-        arr = arr / 255.0
-        if bswap:
-            arr = arr[..., [2, 1, 0, 3]]
-    return {"data": arr, "is_cube": is_cube, "mips": mips,
+    apply_srgb = fmt_srgb if srgb is None else bool(srgb)
+    mip_data = []
+    for level in out:
+        arr = np.stack(level) if is_cube else level[0]
+        arr = arr.astype(np.float32)
+        if not is_bc and npdtype == np.uint8:
+            arr = arr / 255.0
+            if bswap:
+                arr = arr[..., [2, 1, 0, 3]]
+        if apply_srgb:
+            arr = np.concatenate(
+                [srgb_to_linear(arr[..., :3]), arr[..., 3:]], axis=-1)
+        mip_data.append(arr)
+    return {"data": mip_data[0], "mip_data": mip_data, "is_cube": is_cube,
+            "mips": mips, "srgb": apply_srgb,
             "width": width, "height": height}
 
 
-def load_env_cubemap(path) -> "jnp-ready array":
+def load_env_cubemap(path, with_mips: bool = False):
     """Convenience: DDS -> (6, H, W, 3) float32 RGB cubemap (mip 0),
     matching what the reference binds as environment_cubemap_tex
-    (Scene.cpp:40,187)."""
+    (Scene.cpp:40,187). With with_mips=True returns (mip0, chain) where
+    chain is the STORED mip pyramid (list of (6, h, w, 3) levels, ready
+    for render.envmap.sample_env_lod) — the reference uploads every
+    stored level rather than regenerating them (CUDATexture.cpp:112-172)."""
     d = load_dds(path)
-    data = d["data"]
     if not d["is_cube"]:
         raise DDSError("expected a cubemap DDS")
-    return np.ascontiguousarray(data[..., :3])
+    mip0 = np.ascontiguousarray(d["data"][..., :3])
+    if not with_mips:
+        return mip0
+    chain = [np.ascontiguousarray(m[..., :3]) for m in d["mip_data"]]
+    return mip0, chain

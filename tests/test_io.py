@@ -98,6 +98,77 @@ def test_reference_dds_cubemap():
     assert d["data"][..., :3].max() > 1.0  # HDR content
 
 
+@pytest.mark.skipif(not os.path.exists(REF_DDS), reason="dds not present")
+def test_reference_dds_mip_chain_retained():
+    """The full stored mip chain is decoded (reference uploads every
+    level, CUDATexture.cpp:112-172), sizes halving down to 1x1, and
+    each stored level roughly matches a box-filter of the one above
+    (the shipped chain was built by a standard downsampler)."""
+    d = load_dds(REF_DDS)
+    chain = d["mip_data"]
+    assert len(chain) == 8
+    w = 128
+    for lvl in chain:
+        assert lvl.shape == (6, w, w, 4)
+        assert np.isfinite(lvl).all()
+        w = max(w // 2, 1)
+    m0 = d["mip_data"][0][..., :3]
+    m1 = d["mip_data"][1][..., :3]
+    box = m0.reshape(6, 64, 2, 64, 2, 3).mean(axis=(2, 4))
+    # stored mips come from an unknown filter and the HDR sun (max
+    # ~1.4e4) swamps linear comparison — require energy preservation
+    # and strong log-space correlation with a box downsample instead
+    assert abs(m1.mean() - m0.mean()) < 0.05 * m0.mean()
+    corr = np.corrcoef(np.log1p(box).ravel(), np.log1p(m1).ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_dds_srgb_decode():
+    """DXGI *_SRGB formats decode to linear automatically (the
+    reference sets the sRGB flag on those textures, CUDATexture.cpp:137);
+    plain UNORM stays linear-scaled; srgb=True forces decode."""
+    from raypt.io.dds import srgb_to_linear
+    raw = np.full((8, 8, 4), 128, np.uint8)
+    raw[..., 3] = 255
+    enc = 128 / 255.0
+    lin = float(srgb_to_linear(np.float32(enc)))
+    # 28 = R8G8B8A8_UNORM: no decode
+    d = load_dds(_dds_dx10(28, 8, 8, raw.tobytes()))
+    assert not d["srgb"]
+    assert np.allclose(d["data"][..., 0], enc, atol=1e-6)
+    # 29 = R8G8B8A8_UNORM_SRGB: auto decode, alpha untouched
+    d = load_dds(_dds_dx10(29, 8, 8, raw.tobytes()))
+    assert d["srgb"]
+    assert np.allclose(d["data"][..., 0], lin, atol=1e-6)
+    assert np.allclose(d["data"][..., 3], 1.0)
+    # force on a non-sRGB format
+    d = load_dds(_dds_dx10(28, 8, 8, raw.tobytes()), srgb=True)
+    assert np.allclose(d["data"][..., 0], lin, atol=1e-6)
+    # force OFF an sRGB format
+    d = load_dds(_dds_dx10(29, 8, 8, raw.tobytes()), srgb=False)
+    assert np.allclose(d["data"][..., 0], enc, atol=1e-6)
+
+
+def test_env_cubemap_stored_mips_sampled():
+    """load_env_cubemap(with_mips=True) feeds sample_env_lod with the
+    STORED pyramid."""
+    if not os.path.exists(REF_DDS):
+        pytest.skip("dds not present")
+    import jax.numpy as jnp
+    from raypt.core.types import EnvMap
+    from raypt.io.dds import load_env_cubemap
+    from raypt.render.envmap import sample_env_lod
+    mip0, chain = load_env_cubemap(REF_DDS, with_mips=True)
+    env = EnvMap(data=jnp.asarray(mip0), is_cube=True)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    jchain = [jnp.asarray(c) for c in chain]
+    lo = sample_env_lod(env, jchain, d, 0.0)
+    hi = sample_env_lod(env, jchain, d, float(len(chain) - 1))
+    assert np.isfinite(np.asarray(lo)).all()
+    # top mip is the 1x1 average: both directions converge to it
+    assert np.allclose(np.asarray(hi)[0], np.asarray(hi)[1], atol=1e-4)
+
+
 def test_render_state_checkpoint(tmp_path):
     accum = jnp.ones((4, 4, 3)) * 2.5
     key = jax.random.key(42)
