@@ -77,7 +77,12 @@ def cmd_render(args):
 
     timer = Timer()
     for fi in range(start_frame, start_frame + args.frames):
-        img = render_frame(scene, cfg, key, frame_index=fi, bvh=bvh)
+        if args.check:
+            from .debug import checked_render_frame
+            _, img = checked_render_frame(scene, cfg, key, frame_index=fi,
+                                          bvh=bvh, throw=True)
+        else:
+            img = render_frame(scene, cfg, key, frame_index=fi, bvh=bvh)
         acc = img if acc is None else accumulate(acc, img, fi)
     jax.block_until_ready(acc)
     secs = timer.lap()
@@ -167,6 +172,9 @@ def main(argv=None):
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--aovs", action="store_true")
+    pr.add_argument("--check", action="store_true",
+                    help="render under checkify NaN/Inf/OOB checks "
+                         "(debug mode, slower)")
     pr.add_argument("-o", "--output", default="render.png")
     pr.set_defaults(fn=cmd_render)
 
