@@ -173,6 +173,39 @@ def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,
     return worklist, jnp.minimum(counts, cap), overflow
 
 
+def worklists_from_masks(mask: jax.Array, tile: int, cap: int,
+                         c_total: int):
+    """Per-tile worklists from per-ray wanted-cluster bitmasks (the
+    one-hot top-walk output, kernels/onehot_walk.py). Unlike
+    tile_worklists' dense box cull, the union here is exact per ray —
+    measured ~5-10x tighter on incoherent wavefronts.
+
+    mask (R, CW) int32, R divisible by tile. Returns
+    (worklist (n_tiles, cap) i32 [-1 pad], counts, overflow)."""
+    r, cw = mask.shape
+    n_tiles = r // tile
+    m = mask.reshape(n_tiles, tile, cw)
+    # OR-union over the tile (log-tree reduction)
+    t = tile
+    while t > 1:
+        half = t // 2
+        m = m[:, :half] | m[:, half:t]
+        t = half
+    union = m[:, 0]                                    # (n_tiles, CW)
+
+    cid = jnp.arange(c_total, dtype=jnp.int32)
+    wanted = (union[:, cid >> 5] >> (cid & 31)[None, :]) & 1   # (T, C)
+    counts = jnp.sum(wanted, axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(wanted, axis=1) - 1                       # (T, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, wanted.shape, 0)
+    ok = (wanted > 0) & (pos < cap)
+    wl = jnp.full((n_tiles, cap), -1, jnp.int32)
+    wl = wl.at[jnp.where(ok, rows, 0),
+               jnp.where(ok, pos, 0)].max(
+        jnp.where(ok, cid[None, :], -1))
+    return wl, jnp.minimum(counts, cap), counts > cap
+
+
 def intersect_worklist_jnp(clusters: Clusters, worklist, counts,
                            ro, rd, t0, tile: int):
     """Reference jnp implementation of phase 2 (correctness oracle and

@@ -742,7 +742,8 @@ def traverse_wavefront_compact(pbvh, ro: jax.Array,
                                active: jax.Array,
                                phase_steps=(24, 24, 24, 32),
                                min_prefix: int = 16384,
-                               unroll: int = 4):
+                               unroll: int = 4,
+                               unrolled: bool = False):
     """Multi-phase compacting wavefront walk — the fast full-wavefront
     alternative to tiling.
 
@@ -753,7 +754,7 @@ def traverse_wavefront_compact(pbvh, ro: jax.Array,
     cost alone was ~370ms of a 520ms bunny frame. So instead of many
     small latency-bound loops, run a few big throughput-bound ones:
 
-      phase k: `fori_loop` of `phase_steps[k]` traversal steps over the
+      phase k: `phase_steps[k]` traversal steps over the
           first `prefix` rays (static slice, no per-iteration cond);
       between phases: stable-compact rays still walking (node >= 0) to
           the front of the prefix, then halve the prefix — finished and
@@ -762,6 +763,13 @@ def traverse_wavefront_compact(pbvh, ro: jax.Array,
           the full wavefront, so rays deeper than the phase budget (or
           overflowing a halved prefix) always complete. In the tuned
           steady state both exit after ~0 iterations.
+
+    unrolled=True runs each phase as straight-line Python-unrolled
+    steps instead of a `fori_loop`. Measured on v5e
+    (scripts/tpu_loop_isolate.py): a row gather INSIDE any XLA loop
+    lowers to a slow serialized path (~0.09 G rows/s) while the same
+    gather in straight-line code hits the bulk emitter (~15 G rows/s,
+    HBM-bound) — 170x. Unrolling trades compile time for that.
 
     Returns (t_best (R,), face (R,) int32, -1 = none)."""
     R = ro.shape[0]
@@ -780,6 +788,11 @@ def traverse_wavefront_compact(pbvh, ro: jax.Array,
 
     def fori_phase(n, state):
         nd, tb, fc, o_, d_, iv_ = state
+
+        if unrolled:
+            for _ in range(n):
+                nd, tb, fc = _step(nd, tb, fc, o_, d_, iv_)
+            return nd, tb, fc, o_, d_, iv_
 
         def body(_, s):
             nd, tb, fc = _step(s[0], s[1], s[2], o_, d_, iv_)

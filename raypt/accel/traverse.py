@@ -218,9 +218,10 @@ def find_closest_packed(scene: Scene, pbvh, ro, rd, active=None,
     is2 = isinstance(pbvh, Packed2LBVH)
     is4 = isinstance(pbvh, Packed4LBVH)
     isla = isinstance(pbvh, PackedLALBVH)
-    if mode == "compact":
-        t_best, face = traverse_wavefront_compact(pbvh, flat_o, flat_d,
-                                                  flat_t, flat_a)
+    if mode in ("compact", "unrolled"):
+        t_best, face = traverse_wavefront_compact(
+            pbvh, flat_o, flat_d, flat_t, flat_a,
+            unrolled=(mode == "unrolled"))
         t_best = t_best.reshape(shape)
         face = face.reshape(shape)
         tri_wins = face >= 0
@@ -405,6 +406,91 @@ def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
         # overflowed tiles' results are kept by the caller)
         wl_full = jnp.broadcast_to(
             jnp.arange(c_total, dtype=jnp.int32)[None, :], (n_tiles, c_total))
+        cnt_full = jnp.full((n_tiles,), c_total, jnp.int32)
+        return intersect_worklist_jnp(clusters, wl_full, cnt_full, flat_o,
+                                      flat_d, seed, tile=TILE)
+
+    def _keep(_):
+        return jnp.full_like(t_best, BIG), jnp.full_like(face, -1)
+
+    t_fb, f_fb = jax.lax.cond(jnp.any(overflow), _full_scan, _keep, None)
+    ov_ray = jnp.repeat(overflow, TILE)
+    t_best = jnp.where(ov_ray, t_fb, t_best)
+    face = jnp.where(ov_ray, f_fb, face)
+    t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
+    face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
+    tri_wins = face >= 0
+    return HitIds(
+        t=t_best,
+        tri=jnp.where(tri_wins, face, -1),
+        sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+    )
+
+
+def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
+                        use_pallas_walk: bool = True,
+                        use_pallas_intersect: bool = True,
+                        cap: int = 0) -> HitIds:
+    """Two-phase one-hot MXU finder — the flagship TPU path.
+
+    accel = (Clusters, encoded top-tree table) from
+    accel.build_onehot(). Phase A walks the cluster top tree inside a
+    Pallas kernel where every node fetch is a one-hot matmul (MXU)
+    instead of a gather-unit row fetch (kernels/onehot_walk.py); phase
+    B densely intersects each tile's EXACT wanted-cluster union
+    (kernels/cluster_pallas.py). Same contract as the other finders,
+    including the worklist-overflow full-scan fallback."""
+    from .clusters import (WORKLIST_CAP, intersect_worklist_jnp,
+                           worklists_from_masks)
+    from .ctree import walk_topwalk_jnp
+    from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
+    from ..kernels.onehot_walk import RAY_TILE, pallas_topwalk
+    clusters, table = accel
+    cap = cap or WORKLIST_CAP
+    scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
+    ts, si = _closest_sphere(scene, ro, rd)
+    shape = ro.shape[:-1]
+    flat_o = ro.reshape(-1, 3)
+    flat_d = rd.reshape(-1, 3)
+    flat_t = ts.reshape(-1)
+    flat_a = (jnp.ones(flat_t.shape, bool) if active is None
+              else active.reshape(-1))
+    n = flat_o.shape[0]
+    chunk = max(8 * TILE, RAY_TILE)
+    pad = (-n) % chunk
+    if pad:
+        flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
+        flat_d = jnp.concatenate(
+            [flat_d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))])
+        flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
+        flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
+
+    c_total = clusters.num_clusters
+    num_words = -(-c_total // 32)
+    if use_pallas_walk:
+        mask = pallas_topwalk(table, flat_o, flat_d, flat_t, flat_a,
+                              num_words, interpret=not _tpu_backend())
+    else:
+        mask = walk_topwalk_jnp(table, flat_o, flat_d, flat_t, flat_a,
+                                num_words)
+
+    wl, cnt, overflow = worklists_from_masks(mask, TILE, cap, c_total)
+    seed = jnp.where(flat_a, flat_t, -BIG)
+    if use_pallas_intersect:
+        rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+        t_best, face = pallas_cluster_intersect(wl, cnt, rows_cm, flat_o,
+                                                flat_d, seed,
+                                                interpret=not _tpu_backend())
+    else:
+        t_best, face = intersect_worklist_jnp(clusters, wl, cnt, flat_o,
+                                              flat_d, seed, tile=TILE)
+
+    n_tiles = flat_o.shape[0] // TILE
+
+    def _full_scan(_):
+        wl_full = jnp.broadcast_to(
+            jnp.arange(c_total, dtype=jnp.int32)[None, :],
+            (n_tiles, c_total))
         cnt_full = jnp.full((n_tiles,), c_total, jnp.int32)
         return intersect_worklist_jnp(clusters, wl_full, cnt_full, flat_o,
                                       flat_d, seed, tile=TILE)

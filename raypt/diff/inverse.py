@@ -90,28 +90,102 @@ def _render(scene, cfg, key, finder):
 
     def one(s, acc):
         return acc + render_sample(scene, cfg, sample_key(fkey, s), finder)
+    # accumulator derived from the camera so its sharding "varying" type
+    # matches the loop body when rendering view-sharded under shard_map
+    zero = jnp.sum(scene.camera.origin) * 0.0
     acc = jax.lax.fori_loop(0, cfg.samples_per_pixel, one,
-                            jnp.zeros((cfg.height, cfg.width, 3)))
+                            jnp.zeros((cfg.height, cfg.width, 3)) + zero)
     return acc / cfg.samples_per_pixel
+
+
+def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
+                          trainable: Sequence[str], mesh,
+                          bvh: Optional[lbvh_mod.LBVH] = None,
+                          loss_fn: Callable = l2_image_loss,
+                          refit: bool = True):
+    """View-sharded fit step (BASELINE config #5: 16 target views,
+    gradient descent sharded over the pod slice).
+
+    Views are the data axis: each device renders + differentiates its
+    own K/n view slice against its target slice under `shard_map`; the
+    per-view losses psum over the 'views' mesh axis and the parameter
+    cotangents all-reduce automatically (params enter replicated, so
+    AD's transpose of the implicit broadcast IS the cross-chip grad
+    reduction, overlappable with backward compute by XLA).
+
+    step(params, opt_state, views(K-stacked), targets (K,H,W,3), key)
+      -> (params, opt_state, loss); K must divide by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+    trainable = tuple(trainable)
+    n = mesh.devices.size
+
+    @jax.jit
+    def step_fn(params: SceneParams, opt_state, views: CameraRays,
+                targets: jax.Array, key: jax.Array):
+        k_total = targets.shape[0]
+        assert k_total % n == 0, (k_total, n)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P("views"), P("views")),
+                 out_specs=(P(), P()))
+        def shard_loss_grad(p, views_l, targets_l):
+            def local_loss(p):
+                s = apply_params(scene, p)
+                the_bvh = bvh
+                if the_bvh is not None and refit:
+                    the_bvh = lbvh_mod.refit(the_bvh, s.mesh.positions,
+                                             s.mesh.faces, s.mesh.face_valid)
+                finder = make_finder(s, cfg, the_bvh)
+                k_local = targets_l.shape[0]
+                base = jax.lax.axis_index("views") * k_local
+
+                def one_view(i, acc):
+                    sv = s.replace(camera=view_at(views_l, i))
+                    img = _render(sv, cfg,
+                                  jax.random.fold_in(key, base + i), finder)
+                    return acc + loss_fn(img, targets_l[i])
+
+                # init derived from the sharded targets so its sharding
+                # "varying" type matches the loop body under shard_map
+                total = jax.lax.fori_loop(0, k_local, one_view,
+                                          jnp.sum(targets_l) * 0.0)
+                return jax.lax.psum(total, "views") / k_total
+
+            return jax.value_and_grad(local_loss)(p)
+
+        loss, grads = shard_loss_grad(params, views, targets)
+        grads = freeze_except(grads, trainable)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    return step_fn
 
 
 def fit(scene: Scene, cfg: RenderConfig, views: Sequence[CameraRays],
         targets: jax.Array, trainable: Sequence[str],
         steps: int = 100, learning_rate: float = 1e-2,
         bvh: Optional[lbvh_mod.LBVH] = None, key: Optional[jax.Array] = None,
-        resample_noise: bool = False, callback=None):
+        resample_noise: bool = False, callback=None, mesh=None):
     """Run inverse rendering; returns (params, losses).
 
     resample_noise=False keeps the RNG streams fixed across steps (zero
     loss floor when targets were rendered with the same key — the usual
     'correlated samples' trick for low-spp inverse rendering);
-    True redraws every step for unbiased stochastic gradients."""
+    True redraws every step for unbiased stochastic gradients.
+    mesh: a jax.sharding.Mesh with a 'views' axis shards the target
+    views over devices (BASELINE config #5)."""
     key = key if key is not None else jax.random.key(0)
     params = SceneParams.init(scene)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     stacked = stack_views(list(views))
-    step_fn = make_fit_step(scene, cfg, optimizer, trainable, bvh=bvh)
+    if mesh is not None:
+        step_fn = make_fit_step_sharded(scene, cfg, optimizer, trainable,
+                                        mesh, bvh=bvh)
+    else:
+        step_fn = make_fit_step(scene, cfg, optimizer, trainable, bvh=bvh)
     losses = []
     for i in range(steps):
         k = jax.random.fold_in(key, i) if resample_noise else key

@@ -73,6 +73,17 @@ def make_finder(scene: Scene, cfg: RenderConfig,
         woop = bvh if isinstance(bvh, WoopTris) else build_woop(
             scene.mesh.positions, scene.mesh.faces, scene.mesh.face_valid)
         return partial(_dense_finder, woop)
+    if backend == "onehot":
+        from ..accel.ctree import build_onehot
+        if isinstance(bvh, tuple):
+            accel = bvh
+        else:
+            the_bvh = bvh if isinstance(bvh, lbvh_mod.LBVH) else \
+                lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
+                               scene.mesh.face_valid)
+            accel = build_onehot(the_bvh, scene.mesh.positions,
+                                 scene.mesh.faces, scene.mesh.face_valid)
+        return partial(_onehot_finder, accel)
     if backend == "cluster":
         from ..accel.clusters import Clusters, build_clusters
         if isinstance(bvh, Clusters):
@@ -135,6 +146,11 @@ def _packed_finder(pbvh, tile, unroll, sort_rays, mode, scene, ro, rd,
 def _dense_finder(woop, scene, ro, rd, active=None):
     from ..accel.traverse import find_closest_dense
     return find_closest_dense(scene, woop, ro, rd, active=active)
+
+
+def _onehot_finder(accel, scene, ro, rd, active=None):
+    from ..accel.traverse import find_closest_onehot
+    return find_closest_onehot(scene, accel, ro, rd, active=active)
 
 
 def _cluster_finder(cl, scene, ro, rd, active=None):

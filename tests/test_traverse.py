@@ -349,10 +349,12 @@ def test_compact_mode_matches_bruteforce_all_layouts(rng):
     for packer in (pack, pack_cherries, pack_lookahead, pack_quads,
                    partial(pack_quads, lookahead=True)):
         pb = packer(*args)
-        b = find_closest_packed(scene, pb, ro, rd, mode="compact")
-        assert np.allclose(np.asarray(a.t), np.asarray(b.t),
-                           rtol=1e-5, atol=1e-5), packer
-        assert np.array_equal(np.asarray(a.sphere), np.asarray(b.sphere))
+        for mode in ("compact", "unrolled"):
+            b = find_closest_packed(scene, pb, ro, rd, mode=mode)
+            assert np.allclose(np.asarray(a.t), np.asarray(b.t),
+                               rtol=1e-5, atol=1e-5), (packer, mode)
+            assert np.array_equal(np.asarray(a.sphere),
+                                  np.asarray(b.sphere)), (packer, mode)
 
 
 def test_leaf_tris2_render_matches_leaf_tris1(rng):
