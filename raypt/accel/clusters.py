@@ -52,32 +52,26 @@ def build_clusters(bvh: LBVH, positions: jax.Array, faces: jax.Array,
     clusters. Fixed shapes: C_cap = ceil(2 * N / leaf) (a cut node's
     parent has > leaf tris, so each cut holds > leaf/2 on average;
     2N/leaf is a safe upper bound... use N // (leaf // 2) + 2)."""
+    from .ctree import tree_structure
     positions = jax.lax.stop_gradient(positions)
     n = bvh.num_leaves
     ni = n - 1
     total = 2 * n - 1
-    left = bvh.left
-    l_int = jnp.clip(left, 0, total - 1)
-    right = jnp.where(left >= 0, bvh.skip[l_int], -1)
-    r_int = jnp.clip(right, 0, total - 1)
     is_leaf_bin = jnp.arange(total) >= ni
+    # masked structural arrays: robust to host SAH trees with unused
+    # internal slots / detached padding leaves (see ctree.tree_structure)
+    parent, counts, l_int, r_int, attached = tree_structure(bvh)
+    used = bvh.left[:ni] >= 0
 
-    parent = jnp.full((total,), -1, jnp.int32)
-    parent = parent.at[l_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
-    parent = parent.at[r_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
-
-    counts = jnp.where(is_leaf_bin, 1, 0).astype(jnp.int32)
     starts = jnp.where(is_leaf_bin, jnp.arange(total) - ni, 0).astype(jnp.int32)
 
-    def up_round(_, cs):
-        c, s = cs
-        ci = c[l_int] + c[r_int]
-        si = jnp.minimum(s[l_int], s[r_int])
-        return (c.at[:ni].set(ci[:ni]), s.at[:ni].set(si[:ni]))
+    def up_round(_, s):
+        si = jnp.where(used, jnp.minimum(s[l_int[:ni]], s[r_int[:ni]]), 0)
+        return s.at[:ni].set(si)
 
-    counts, starts = jax.lax.fori_loop(0, 64, up_round, (counts, starts))
+    starts = jax.lax.fori_loop(0, 64, up_round, starts)
 
-    cut = counts <= leaf
+    cut = attached & (counts <= leaf)
     cut = cut & (jnp.where(parent >= 0,
                            counts[jnp.clip(parent, 0, None)],
                            leaf + 1) > leaf)
@@ -196,13 +190,15 @@ def worklists_from_masks(mask: jax.Array, tile: int, cap: int,
     cid = jnp.arange(c_total, dtype=jnp.int32)
     wanted = (union[:, cid >> 5] >> (cid & 31)[None, :]) & 1   # (T, C)
     counts = jnp.sum(wanted, axis=1).astype(jnp.int32)
-    pos = jnp.cumsum(wanted, axis=1) - 1                       # (T, C)
-    rows = jax.lax.broadcasted_iota(jnp.int32, wanted.shape, 0)
-    ok = (wanted > 0) & (pos < cap)
-    wl = jnp.full((n_tiles, cap), -1, jnp.int32)
-    wl = wl.at[jnp.where(ok, rows, 0),
-               jnp.where(ok, pos, 0)].max(
-        jnp.where(ok, cid[None, :], -1))
+    # compact set bits to the front via top_k (a row-wise scatter here
+    # measured ~90ms at 1M rays — top_k stays on the vector unit)
+    keys = wanted * (c_total - cid)[None, :]
+    vals, idxs = jax.lax.top_k(keys, min(cap, c_total))
+    wl = jnp.where(vals > 0, idxs.astype(jnp.int32), -1)
+    if wl.shape[1] < cap:
+        wl = jnp.concatenate(
+            [wl, jnp.full((n_tiles, cap - wl.shape[1]), -1, jnp.int32)],
+            axis=1)
     return wl, jnp.minimum(counts, cap), counts > cap
 
 

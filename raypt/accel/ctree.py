@@ -43,6 +43,56 @@ from .lbvh import LBVH
 ROW = 16  # bf16 slots per encoded row
 
 
+def tree_structure(bvh: LBVH):
+    """Robust structural arrays for ANY LBVH-layout tree, including
+    host SAH trees with UNUSED internal slots (left == -1) and
+    DETACHED padded leaves (the Karras builder uses every slot, the
+    native SAH builder does not — round-2 bug: unmasked parent
+    scatters routed left=-1 through clip() into node 0 and detached
+    padding leaves self-qualified as cluster cuts).
+
+    Returns (parent, counts, l_int, r_int, attached):
+      parent  (2N-1,) i32, -1 for root/detached/unused
+      counts  (2N-1,) i32 subtree leaf count (0 on unused internals)
+      l_int/r_int clipped child ids (valid only where left >= 0)
+      attached (2N-1,) bool — reachable from the root
+    """
+    n = bvh.num_leaves
+    ni = n - 1
+    total = 2 * n - 1
+    left = bvh.left
+    used = left[:ni] >= 0
+    l_int = jnp.clip(left, 0, total - 1)
+    right = jnp.where(left >= 0, bvh.skip[l_int], -1)
+    r_int = jnp.clip(right, 0, total - 1)
+
+    dump = total
+    idx_i = jnp.arange(ni, dtype=jnp.int32)
+    l_tgt = jnp.where(used, l_int[:ni], dump)
+    r_tgt = jnp.where(used, r_int[:ni], dump)
+    parent = jnp.full((total + 1,), -1, jnp.int32)
+    parent = parent.at[l_tgt].set(idx_i).at[r_tgt].set(idx_i)[:total]
+
+    is_leaf_bin = jnp.arange(total) >= ni
+    counts0 = jnp.where(is_leaf_bin, 1, 0).astype(jnp.int32)
+
+    def up_round(_, c):
+        ci = jnp.where(used, c[l_int[:ni]] + c[r_int[:ni]], 0)
+        return c.at[:ni].set(ci)
+
+    counts = jax.lax.fori_loop(0, 64, up_round, counts0)
+
+    # attachment: fixpoint walking parents up to the root
+    root_ok = jnp.arange(total) == 0
+
+    def att_round(_, a):
+        par_ok = a[jnp.clip(parent, 0, total - 1)] & (parent >= 0)
+        return root_ok | par_ok
+
+    attached = jax.lax.fori_loop(0, 64, att_round, root_ok)
+    return parent, counts, l_int, r_int, attached
+
+
 @struct.dataclass
 class ClusterTree:
     """Compacted top tree over clusters (f32 reference form)."""
@@ -67,30 +117,14 @@ def build_cluster_tree(bvh: LBVH, leaf: int = 64,
     ni = n - 1
     total = 2 * n - 1
     left = bvh.left
-    l_int = jnp.clip(left, 0, total - 1)
-    right = jnp.where(left >= 0, bvh.skip[l_int], -1)
-    r_int = jnp.clip(right, 0, total - 1)
     is_leaf_bin = jnp.arange(total) >= ni
+    parent, counts, l_int, r_int, attached = tree_structure(bvh)
 
-    parent = jnp.full((total,), -1, jnp.int32)
-    parent = parent.at[l_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
-    parent = parent.at[r_int[:ni]].set(jnp.arange(ni, dtype=jnp.int32))
-
-    counts = jnp.where(is_leaf_bin, 1, 0).astype(jnp.int32)
-
-    def up_round(_, c):
-        return c.at[:ni].set(c[l_int[:ni]] + c[r_int[:ni]])
-
-    counts = jax.lax.fori_loop(0, 64, up_round, counts)
-
-    cut = counts <= leaf
+    cut = attached & (counts <= leaf)
     cut = cut & (jnp.where(parent >= 0,
                            counts[jnp.clip(parent, 0, None)],
                            leaf + 1) > leaf)
-    # padded-empty leaves (count contributions from invalid faces) are
-    # still structural nodes; keep them — their boxes are inverted so
-    # the walk never descends into them.
-    is_top = cut | ((~is_leaf_bin) & (counts > leaf))
+    is_top = cut | (attached & (~is_leaf_bin) & (counts > leaf))
 
     c_cap = max(n // max(leaf // 2, 1) + 2, 8)
     n_top = n_top_cap or (2 * c_cap + 1)
