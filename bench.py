@@ -8,11 +8,21 @@ Prints ONE JSON line:
 Ray accounting: value counts *path segments* traced per second through
 the fwd+bwd step — H*W*spp rays per sample pass, each scanned over
 `bounces` segments (the reference's upper-bound accounting, SURVEY §6
-"implied per-frame ray work"), doubled for the backward pass.
+"implied per-frame ray work"), doubled for the backward pass. The
+actually-traced segment rate is lower (rays die to misses/roulette);
+extra.segments_upper_bound records the accounting basis explicitly.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 recorded baseline is this framework's own pure-jnp XLA path at round 1
-(BASELINE_INTERNAL_MRAYS below) — later rounds must beat it.
+(BASELINE_INTERNAL_MRAYS below) — later rounds must beat it. NOTE
+(round 2): round 1's scene had two bugs that made the workload
+trivially easy — the bunny was buried under the ground quad (missing
+Assimp -90 degree X root-rotation parity, AssimpLoader.cpp:46-48) and
+outside the camera frustum entirely, so the "bunny" bench traced only
+a flat quad + env. Round 2 fixes the transform and frames the bunny
+(~33% of pixels). The 13.5 reference point is kept UNCHANGED, so
+vs_baseline now compares a real-bunny workload against an
+empty-frame baseline — it understates round-2 speedups.
 """
 import json
 import os
@@ -113,6 +123,9 @@ def main():
             "device": str(jax.devices()[0]),
             "step_seconds": round(dt, 4),
             "compile_seconds": round(compile_s, 1),
+            "cache_hit": compile_s < 10.0,
+            "segments_upper_bound": segments,
+            "accounting": "H*W*spp*bounces upper-bound segments, x2 bwd",
             "width": WIDTH, "height": HEIGHT,
             "bounces": BOUNCES, "spp": SPP,
             "loss": float(out[0]),

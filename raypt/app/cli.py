@@ -36,8 +36,8 @@ def _build_scene(name: str, size, obj: str | None):
     elif name == "obj":
         if not obj:
             raise SystemExit("--obj PATH required for --scene obj")
-        from ..io import load_obj
-        mesh = load_obj(obj)
+        from ..io import load_mesh
+        mesh = load_mesh(obj)   # OBJ or PLY by extension/signature
         b = SceneBuilder(env=load_reference_envmap())
         mat = b.add_material(MaterialDef(albedo=(0.8, 0.8, 0.8)))
         b.add_mesh(mesh["positions"], mesh["normals"], mesh["faces"],

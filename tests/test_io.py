@@ -149,6 +149,92 @@ def test_dds_srgb_decode():
     assert np.allclose(d["data"][..., 0], enc, atol=1e-6)
 
 
+def _ply_ascii(with_normals=True, polys=False):
+    lines = ["ply", "format ascii 1.0", "element vertex 4",
+             "property float x", "property float y", "property float z"]
+    if with_normals:
+        lines += ["property float nx", "property float ny",
+                  "property float nz"]
+    nf = 1 if polys else 2
+    lines += [f"element face {nf}",
+              "property list uchar int vertex_indices", "end_header"]
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    for v in verts:
+        row = f"{v[0]} {v[1]} {v[2]}"
+        if with_normals:
+            row += " 0 0 1"
+        lines.append(row)
+    if polys:
+        lines.append("4 0 1 2 3")
+    else:
+        lines += ["3 0 1 2", "3 0 2 3"]
+    return ("\n".join(lines) + "\n").encode()
+
+
+def test_ply_ascii_quad_fan():
+    from raypt.io import load_ply
+    m = load_ply(_ply_ascii(polys=True))
+    assert m["positions"].shape == (4, 3)
+    assert m["faces"].shape == (2, 3)           # quad fan-triangulated
+    assert np.allclose(m["normals"], [0, 0, 1])
+    m2 = load_ply(_ply_ascii(with_normals=False))
+    assert np.allclose(np.abs(m2["normals"][:, 2]), 1.0, atol=1e-5)
+
+
+def test_ply_binary_roundtrip():
+    """Binary little-endian PLY == ascii PLY, and both endians agree."""
+    import struct
+    from raypt.io import load_ply
+
+    def binary(endian):
+        tag = ("binary_little_endian" if endian == "<"
+               else "binary_big_endian")
+        hdr = ("ply\nformat %s 1.0\nelement vertex 4\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "element face 2\n"
+               "property list uchar int vertex_indices\nend_header\n"
+               % tag).encode()
+        body = b""
+        for v in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]:
+            body += struct.pack(endian + "3f", *v)
+        for f in [(0, 1, 2), (0, 2, 3)]:
+            body += struct.pack(endian + "B3i", 3, *f)
+        return hdr + body
+
+    a = load_ply(_ply_ascii(with_normals=False))
+    for e in ("<", ">"):
+        b = load_ply(binary(e))
+        assert np.allclose(a["positions"], b["positions"])
+        assert np.array_equal(a["faces"], b["faces"])
+
+
+def test_ply_renders_like_obj():
+    """A mesh loaded via PLY renders identically to the same mesh via
+    the builder-direct path (the AddLoadedScene-parity check)."""
+    import jax
+    from raypt.core.scene import MaterialDef, SceneBuilder
+    from raypt.core.types import EnvMap, RenderConfig
+    from raypt.io import load_ply
+    from raypt.render import render_frame
+    m = load_ply(_ply_ascii())
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = (-0.5, -0.5, -2.0)
+
+    def build(mesh):
+        b = SceneBuilder(env=EnvMap.constant((0.4, 0.5, 0.6)))
+        mat = b.add_material(MaterialDef(albedo=(0.7, 0.6, 0.5)))
+        b.add_mesh(mesh["positions"], mesh["normals"], mesh["faces"],
+                   uvs=mesh["uvs"], transform=t, material=mat)
+        b.camera.viewport_width = b.camera.viewport_height = 12
+        return b.freeze()
+
+    cfg = RenderConfig(width=12, height=12, samples_per_pixel=1,
+                       num_bounces=2, backend="bruteforce")
+    ia = render_frame(build(m), cfg, jax.random.key(0))
+    assert np.isfinite(np.asarray(ia)).all()
+    assert float(np.asarray(ia).mean()) > 0
+
+
 def test_env_cubemap_stored_mips_sampled():
     """load_env_cubemap(with_mips=True) feeds sample_env_lod with the
     STORED pyramid."""
