@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512
+RAY_TILE = 1024
 LO = 256          # radix: node = hi * LO + lo
 ROW = 16
 
@@ -134,7 +134,7 @@ def _kernel(o_ref, d_ref, iv_ref, t0_ref, act_ref, tab_ref, mask_ref,
 def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
                    t0: jax.Array, active: jax.Array, num_words: int,
                    interpret: bool = False, max_steps: int = 16384,
-                   ray_tile: int = RAY_TILE, unroll: int = 2,
+                   ray_tile: int = RAY_TILE, unroll: int = 4,
                    lo_size: int = LO) -> jax.Array:
     """Walk the encoded cluster top tree for a wavefront.
 
