@@ -39,7 +39,10 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", 4))
 SPP = int(os.environ.get("BENCH_SPP", 1))
 REPS = int(os.environ.get("BENCH_REPS", 3))
-# traversal-layout overrides (defaults = RenderConfig defaults)
+# backend: "onehot" = one-hot MXU Pallas walk + dense cluster
+# intersection (the flagship path); "bvh" = XLA packed skip-link walk
+BACKEND = os.environ.get("BENCH_BACKEND", "onehot")
+# traversal-layout overrides for backend="bvh"
 LEAF_TRIS = int(os.environ.get("BENCH_LEAF_TRIS", 1))
 LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 
@@ -70,14 +73,20 @@ def main():
     builder.camera.viewport_height = HEIGHT
     scene = builder.freeze()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples_per_pixel=SPP,
-                       num_bounces=BOUNCES, backend="bvh",
+                       num_bounces=BOUNCES, backend=BACKEND,
                        russian_roulette=True,
                        leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD)
     bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
     if bvh is None:
         bvh = build(scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
-    jax.block_until_ready(bvh.bmin)
+    if BACKEND == "onehot":
+        from raypt.accel.ctree import build_onehot
+        bvh = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
+                           scene.mesh.face_valid, leaf=64)
+        jax.block_until_ready(bvh[1])
+    else:
+        jax.block_until_ready(bvh.bmin)
     key = jax.random.key(0)
 
     @jax.jit

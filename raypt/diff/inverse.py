@@ -98,11 +98,39 @@ def _render(scene, cfg, key, finder):
     return acc / cfg.samples_per_pixel
 
 
+def render_rgbd(scene: Scene, cfg: RenderConfig, key, finder):
+    """(H, W, 4) radiance + primary-hit depth. Depth carries smooth
+    gradients w.r.t. vertex offsets through the differentiable hit
+    recompute — the well-posed supervision channel for geometry
+    recovery (RGB-only losses see geometry mainly through visibility,
+    which the detach-topology estimator deliberately does not
+    differentiate, SURVEY §7 'Hard parts')."""
+    import jax.numpy as jnp
+
+    from ..accel.traverse import recompute_hit
+    from ..core.math3d import normalize
+    from ..render.integrator import camera_rays_for_ids, pixel_id_grid
+
+    rgb = _render(scene, cfg, key, finder)
+    ids_grid = pixel_id_grid(cfg)
+    jitter = jnp.full((cfg.height, cfg.width, 2), 0.5)
+    ro, rd = camera_rays_for_ids(scene, cfg, ids_grid, jitter)
+    rd = normalize(rd)
+    # active mask derived from the rays so its sharding "varying" type
+    # matches the traversal loop carries under shard_map
+    act = rd[..., 0] * 0.0 < 1.0
+    hids = finder(scene, ro, rd, active=act)
+    hit = recompute_hit(scene, ro, rd, hids)
+    depth = jnp.where(hit.valid, hit.t, 0.0)
+    return jnp.concatenate([rgb, depth[..., None]], axis=-1)
+
+
 def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
                           trainable: Sequence[str], mesh,
                           bvh: Optional[lbvh_mod.LBVH] = None,
                           loss_fn: Callable = l2_image_loss,
-                          refit: bool = True):
+                          refit: bool = True,
+                          render_fn: Callable = None):
     """View-sharded fit step (BASELINE config #5: 16 target views,
     gradient descent sharded over the pod slice).
 
@@ -119,6 +147,7 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
     from jax.sharding import PartitionSpec as P
     trainable = tuple(trainable)
     n = mesh.devices.size
+    render_fn = render_fn or _render
 
     @jax.jit
     def step_fn(params: SceneParams, opt_state, views: CameraRays,
@@ -142,8 +171,9 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
 
                 def one_view(i, acc):
                     sv = s.replace(camera=view_at(views_l, i))
-                    img = _render(sv, cfg,
-                                  jax.random.fold_in(key, base + i), finder)
+                    img = render_fn(sv, cfg,
+                                    jax.random.fold_in(key, base + i),
+                                    finder)
                     return acc + loss_fn(img, targets_l[i])
 
                 # init derived from the sharded targets so its sharding
