@@ -42,7 +42,8 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
                   trainable: Sequence[str],
                   bvh: Optional[lbvh_mod.LBVH] = None,
                   loss_fn: Callable = l2_image_loss,
-                  refit: bool = True):
+                  refit: bool = True,
+                  render_fn: Callable = None):
     """Build a jitted optimization step over K target views.
 
     step(params, opt_state, views(K-stacked), targets (K,H,W,3), key)
@@ -54,6 +55,7 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
     move without a full rebuild.
     """
     trainable = tuple(trainable)
+    render_fn = render_fn or _render
 
     @jax.jit
     def step_fn(params: SceneParams, opt_state, views: CameraRays,
@@ -69,7 +71,8 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
 
             def one_view(i, acc):
                 sv = s.replace(camera=view_at(views, i))
-                img = _render(sv, cfg, jax.random.fold_in(key, i), finder)
+                img = render_fn(sv, cfg, jax.random.fold_in(key, i),
+                                finder)
                 return acc + loss_fn(img, targets[i])
             total = jax.lax.fori_loop(0, k, one_view, jnp.float32(0.0))
             return total / k

@@ -152,47 +152,73 @@ def test_view_sharded_vertex_offset_recovery(rng):
                num_bounces=2)
     key = jax.random.key(3)
 
-    # targets rendered from the TRUE scene per view (same RNG folding
-    # as the fit step: fold_in(key, view_index))
+    # RGB-D targets from the TRUE scene per view (same RNG folding as
+    # the fit step: fold_in(key, view_index)); masked depth residuals
+    # are the well-posed geometry supervision (see diff.inverse)
     targets = []
-    from raypt.diff.inverse import _render, view_at
+    from raypt.diff.inverse import render_rgbd, view_at
     from raypt.render.integrator import make_finder
     finder = make_finder(scene, cfg, None)
     for k in range(K):
         sv = scene.replace(camera=views[k])
-        targets.append(_render(sv, cfg, jax.random.fold_in(key, k), finder))
+        targets.append(render_rgbd(sv, cfg, jax.random.fold_in(key, k),
+                                   finder))
     targets = jnp.stack(targets)
 
-    # corrupt the geometry; train offsets (+albedo) to undo it
-    bump = 0.08 * np.sin(np.arange(scene.mesh.positions.shape[0]))
-    bad = scene.replace(mesh=scene.mesh.replace(
-        positions=scene.mesh.positions + jnp.asarray(
-            np.stack([0 * bump, 0 * bump, bump], -1), jnp.float32)))
+    def rgbd_loss(img, tgt):
+        rgb = jnp.mean((img[..., :3] - tgt[..., :3]) ** 2)
+        both = (img[..., 3] > 0) & (tgt[..., 3] > 0)
+        d = (jnp.sum(jnp.where(both, (img[..., 3] - tgt[..., 3]) ** 2, 0.0))
+             / jnp.maximum(jnp.sum(both), 1))
+        return rgb + 0.2 * d
 
-    optimizer = optax.adam(3e-2)
+    # corrupt the geometry with a SMOOTH bump (recoverable through the
+    # smooth shading/depth gradient channels; per-vertex-index noise is
+    # not) and the albedo; train offsets (+albedo) to undo it
+    pw = np.asarray(scene.mesh.positions)
+    bump = 0.25 * np.sin(1.7 * pw[:, 0]) * np.cos(1.3 * pw[:, 1])
+    bad = scene.replace(
+        mesh=scene.mesh.replace(
+            positions=scene.mesh.positions + jnp.asarray(
+                np.stack([0 * bump, 0 * bump, bump], -1), jnp.float32)),
+        materials=scene.materials.replace(
+            albedo=jnp.clip(scene.materials.albedo * 0.5 + 0.3,
+                            0.02, 0.98)))
+
     trainable = ("vertex_offsets", "albedo_logits")
     mesh = Mesh(np.array(jax.devices()[:8]), ("views",))
-    step_sh = make_fit_step_sharded(bad, cfg, optimizer, trainable, mesh)
-    step_un = make_fit_step(bad, cfg, optimizer, trainable)
 
+    # (a) sharded == unsharded with SGD (updates proportional to grads,
+    # so tolerances are meaningful; adam's m/sqrt(v) normalization
+    # amplifies 1-ulp psum reordering into full-lr sign flips on
+    # near-zero gradient entries)
+    sgd = optax.sgd(1e-2)
     params = SceneParams.init(bad)
-    opt_state = optimizer.init(params)
     stacked = stack_views(views)
-
-    # (a) sharded == unsharded on the first step
-    p_sh, _, loss_sh = step_sh(params, opt_state, stacked, targets, key)
-    p_un, _, loss_un = step_un(params, opt_state, stacked, targets, key)
+    p_sh, _, loss_sh = make_fit_step_sharded(
+        bad, cfg, sgd, trainable, mesh, loss_fn=rgbd_loss,
+        render_fn=render_rgbd)(
+        params, sgd.init(params), stacked, targets, key)
+    p_un, _, loss_un = make_fit_step(
+        bad, cfg, sgd, trainable, loss_fn=rgbd_loss,
+        render_fn=render_rgbd)(
+        params, sgd.init(params), stacked, targets, key)
     assert np.isclose(float(loss_sh), float(loss_un), rtol=1e-5)
     # psum reduction order differs from the sequential sum -> ~1 ulp
     assert np.allclose(np.asarray(p_sh.vertex_offsets),
-                       np.asarray(p_un.vertex_offsets), atol=1e-5)
+                       np.asarray(p_un.vertex_offsets),
+                       rtol=1e-3, atol=1e-7)
 
     # (b) nonzero vertex movement on step 1 (i.e. nonzero vertex grad)
     assert float(jnp.abs(p_sh.vertex_offsets).max()) > 0.0
 
-    # (c) loss decreases over a short sharded training run
+    # (c) loss decreases over a short sharded training run (adam)
+    optimizer = optax.adam(1e-2)
+    step_sh = make_fit_step_sharded(bad, cfg, optimizer, trainable,
+                                    mesh, loss_fn=rgbd_loss,
+                                    render_fn=render_rgbd)
     losses = [float(loss_sh)]
-    p, o = p_sh, optimizer.init(params)
+    p, o = params, optimizer.init(params)
     for i in range(24):
         p, o, l = step_sh(p, o, stacked, targets, key)
         losses.append(float(l))
