@@ -12,27 +12,35 @@ the fwd+bwd step — H*W*spp rays per sample pass, each scanned over
 actually-traced segment rate is lower (rays die to misses/roulette);
 extra.segments_upper_bound records the accounting basis explicitly.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-recorded baseline is this framework's own pure-jnp XLA path at round 1
-(BASELINE_INTERNAL_MRAYS below) — later rounds must beat it. NOTE
-(round 2): round 1's scene had two bugs that made the workload
-trivially easy — the bunny was buried under the ground quad (missing
-Assimp -90 degree X root-rotation parity, AssimpLoader.cpp:46-48) and
-outside the camera frustum entirely, so the "bunny" bench traced only
-a flat quad + env. Round 2 fixes the transform and frames the bunny
-(~33% of pixels). The 13.5 reference point is kept UNCHANGED, so
-vs_baseline now compares a real-bunny workload against an
-empty-frame baseline — it understates round-2 speedups.
+Crash-proofing (round-2 VERDICT item 2): the requested backend runs in
+a SUBPROCESS — a TPU kernel fault poisons the whole client, so an
+in-process try/except cannot save the number. On any child failure the
+orchestrator re-runs with backend="bvh" (the proven XLA skip-link
+path) and reports extra.fallback=true plus the first error. The driver
+bench can no longer record `parsed: null` short of the bvh path itself
+dying.
+
+Baselines (round-2 VERDICT item 3): round 1's scene had the bunny out
+of frame (missing Assimp -90 deg X root-rotation parity,
+AssimpLoader.cpp:46-48), so the legacy 13.5 pin traced an empty frame.
+Round 3 re-pins against the FRAMED bunny (~33% coverage) measured on
+the bvh backend on TPU v5e; `vs_baseline` uses the framed pin, and
+both pins + the workload description ride in `extra` so the number is
+self-describing.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 # Round-1 recorded single-chip fwd+bwd throughput (TPU v5e, binary
-# packed-BVH backend + gather-minimal shading). FIXED reference point:
-# later rounds report vs_baseline against this number.
-BASELINE_INTERNAL_MRAYS = 13.5
+# packed-BVH backend) on the EMPTY-FRAME scene — kept for the audit
+# trail only.
+BASELINE_LEGACY_EMPTY_FRAME_MRAYS = 13.5
+# Round-3 pin: bvh backend, framed bunny (commit 5be5820 scene), TPU
+# v5e, 1024^2 x 4 bounces fwd+bwd. vs_baseline reports against this.
+BASELINE_FRAMED_MRAYS = 14.4
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))
@@ -42,12 +50,16 @@ REPS = int(os.environ.get("BENCH_REPS", 3))
 # backend: "onehot" = one-hot MXU Pallas walk + dense cluster
 # intersection (the flagship path); "bvh" = XLA packed skip-link walk
 BACKEND = os.environ.get("BENCH_BACKEND", "onehot")
+FALLBACK_BACKEND = os.environ.get("BENCH_FALLBACK_BACKEND", "bvh")
+CHILD_TIMEOUT = float(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
 # traversal-layout overrides for backend="bvh"
 LEAF_TRIS = int(os.environ.get("BENCH_LEAF_TRIS", 1))
 LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 
 
-def main():
+def run_child(backend: str) -> dict:
+    """Measure one backend end-to-end in this process; returns the
+    result dict (raises on any failure)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,14 +85,14 @@ def main():
     builder.camera.viewport_height = HEIGHT
     scene = builder.freeze()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples_per_pixel=SPP,
-                       num_bounces=BOUNCES, backend=BACKEND,
+                       num_bounces=BOUNCES, backend=backend,
                        russian_roulette=True,
                        leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD)
     bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
     if bvh is None:
         bvh = build(scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
-    if BACKEND == "onehot":
+    if backend == "onehot":
         from raypt.accel.ctree import build_onehot
         bvh = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
                            scene.mesh.face_valid, leaf=64)
@@ -123,23 +135,72 @@ def main():
     # fwd+bwd path segments per step (upper bound, reference accounting)
     segments = WIDTH * HEIGHT * SPP * BOUNCES * 2
     mrays = segments / dt / 1e6
-    result = {
+    return {
         "metric": "bunny_1024_fwd_bwd",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_INTERNAL_MRAYS, 3),
+        "vs_baseline": round(mrays / BASELINE_FRAMED_MRAYS, 3),
         "extra": {
+            "backend": backend,
             "device": str(jax.devices()[0]),
             "step_seconds": round(dt, 4),
             "compile_seconds": round(compile_s, 1),
             "cache_hit": compile_s < 10.0,
             "segments_upper_bound": segments,
             "accounting": "H*W*spp*bounces upper-bound segments, x2 bwd",
+            "workload": "framed stanford bunny (~33% px), env + ground",
+            "baseline_framed": BASELINE_FRAMED_MRAYS,
+            "baseline_legacy_empty_frame":
+                BASELINE_LEGACY_EMPTY_FRAME_MRAYS,
             "width": WIDTH, "height": HEIGHT,
             "bounces": BOUNCES, "spp": SPP,
             "loss": float(out[0]),
         },
     }
+
+
+def main():
+    if "--child" in sys.argv:
+        backend = sys.argv[sys.argv.index("--child") + 1]
+        print(json.dumps(run_child(backend)), flush=True)
+        return
+
+    def attempt(backend: str):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", backend],
+            capture_output=True, text=True, timeout=CHILD_TIMEOUT, env=env)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line), None
+                except json.JSONDecodeError:
+                    continue
+        tail = (proc.stderr or proc.stdout or "")[-800:]
+        return None, f"rc={proc.returncode}: {tail}"
+
+    try:
+        result, err = attempt(BACKEND)
+    except Exception as e:  # timeout etc.
+        result, err = None, repr(e)
+
+    if result is None and BACKEND != FALLBACK_BACKEND:
+        first_err = err
+        try:
+            result, err = attempt(FALLBACK_BACKEND)
+        except Exception as e:
+            result, err = None, repr(e)
+        if result is not None:
+            result["extra"]["fallback"] = True
+            result["extra"]["fallback_reason"] = first_err
+
+    if result is None:
+        # last resort: still emit a parseable line (never `parsed: null`)
+        result = {"metric": "bunny_1024_fwd_bwd", "value": 0.0,
+                  "unit": "Mrays/s", "vs_baseline": 0.0,
+                  "extra": {"error": err, "backend": BACKEND,
+                            "fallback_backend": FALLBACK_BACKEND}}
     print(json.dumps(result))
 
 

@@ -205,6 +205,14 @@ def decode_digits(hi: jax.Array, lo: jax.Array) -> jax.Array:
 def encode_topwalk_table(tree: ClusterTree) -> jax.Array:
     """(Nt, 16) bf16 — the kernel's one-hot-fetchable row table."""
     nt = tree.num_nodes
+    # _digits is exact only for ids < 128*256-1: each digit must round-
+    # trip bf16 (<= 255 has an 8-bit mantissa path). Links/cluster ids
+    # are all < nt, so the static node count bounds every encoded id.
+    if nt >= 128 * 256 - 1:
+        raise ValueError(
+            f"onehot top tree has {nt} nodes; the bf16 digit-pair "
+            f"encoding is exact only below {128 * 256 - 1} ids — raise "
+            f"`leaf` in build_onehot to coarsen the clustering")
     rows = jnp.zeros((nt, ROW), jnp.bfloat16)
     rows = rows.at[:, 0:3].set(_bf16_down(tree.bmin))
     rows = rows.at[:, 3:6].set(_bf16_up(tree.bmax))

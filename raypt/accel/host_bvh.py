@@ -24,16 +24,26 @@ from .lbvh import LBVH
 
 def _subtree_sizes(meta: np.ndarray) -> np.ndarray:
     """sizes[i] = number of nodes in i's subtree. Host ids are DFS
-    preorder, so a reversed linear sweep resolves children first."""
+    preorder of a full binary tree, so the subtree of i is the
+    contiguous range [i, j] where j is the first position at which the
+    leaf-minus-internal excess over [i, j] reaches +1 (balanced-
+    parentheses property: every strict prefix of a subtree has
+    excess <= 0). Vectorized: with c = cumsum(+1 leaf / -1 internal),
+    j = first index >= i with c[j] == c[i-1] + 1; found for all i at
+    once with one searchsorted over positions sorted by (c value, pos)."""
     n = len(meta)
-    sizes = np.ones(n, np.int64)
     is_leaf = meta[:, 1] > 0
-    for i in range(n - 1, -1, -1):
-        if not is_leaf[i]:
-            l = meta[i, 0]
-            r = l + sizes[l]
-            sizes[i] = 1 + sizes[l] + sizes[r]
-    return sizes
+    c = np.cumsum(np.where(is_leaf, 1, -1)).astype(np.int64)
+    target = np.concatenate(([0], c[:-1])) + 1          # c[i-1] + 1
+    pos = np.arange(n, dtype=np.int64)
+    keys = c * (n + 1) + pos                            # sorted by (c, pos)
+    order = np.argsort(keys, kind="stable")
+    queries = target * (n + 1) + pos
+    idx = np.searchsorted(keys[order], queries)
+    if idx.max(initial=0) >= n:
+        raise ValueError("malformed host BVH: unbalanced preorder")
+    j = order[idx]
+    return j - pos + 1
 
 
 def host_tree_to_lbvh(bounds: np.ndarray, meta: np.ndarray,

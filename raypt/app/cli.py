@@ -167,7 +167,8 @@ def main(argv=None):
     pr.add_argument("--bounces", type=int, default=6)
     pr.add_argument("--frames", type=int, default=1)
     pr.add_argument("--backend", default="auto",
-                    choices=["auto", "bvh", "bvh2", "bvh4", "dense", "bruteforce", "pallas"])
+                    choices=["auto", "bvh", "bvh2", "bvh4", "dense",
+                             "bruteforce", "pallas", "onehot", "cluster"])
     pr.add_argument("--exposure", type=float, default=0.5)
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--checkpoint", default=None)

@@ -213,7 +213,11 @@ class RenderConfig:
     exposure: float = 0.5
     russian_roulette: bool = True
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
-    backend: str = "auto"     # bruteforce | dense | bvh | bvh4 | pallas | auto
+    backend: str = "auto"     # bruteforce | dense | bvh | bvh2 | bvh4 |
+                              # pallas | onehot | cluster | auto
+                              # ("onehot" = flagship MXU one-hot Pallas
+                              # top-tree walk + dense cluster intersect;
+                              # "cluster" = two-level dense-culled)
     traversal_mode: str = "tiled"  # "tiled": lax.map over
                                 # traversal_tile-ray tiles of while-loops
                                 # (fastest measured on v5e); "compact":

@@ -1,0 +1,101 @@
+"""On-TPU kernel gate (round-2 VERDICT item 4): run the flagship Pallas
+kernels COMPILED on the real chip at two sizes and assert parity vs
+their jnp oracles. Run this before any bench-default change; interpret-
+mode tests cannot catch Mosaic compilation/runtime faults.
+
+Usage:  python scripts/tpu_kernel_gate.py          # both sizes
+        GATE_SIZES=256 python scripts/tpu_kernel_gate.py
+
+Exit code 0 = both kernels compile, run, and match on hardware.
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/raypt_xla_cache"))
+
+from raypt import RenderConfig
+from raypt.accel.clusters import (WORKLIST_CAP, intersect_worklist_jnp,
+                                  worklists_from_masks)
+from raypt.accel.ctree import build_onehot, walk_topwalk_jnp
+from raypt.accel.host_bvh import build_sah
+from raypt.accel.lbvh import build as lbvh_build
+from raypt.core.math3d import normalize
+from raypt.kernels.cluster_pallas import TILE, pallas_cluster_intersect
+from raypt.kernels.onehot_walk import pallas_topwalk
+from raypt.render.integrator import (_block_order, camera_rays_for_ids,
+                                     pixel_id_grid)
+from raypt.scenes import stanford_bunny
+
+SIZES = [int(s) for s in os.environ.get("GATE_SIZES", "256,1024").split(",")]
+
+plat = jax.devices()[0].platform
+if plat not in ("tpu", "axon"):
+    print(f"SKIP: no TPU (platform={plat})")
+    sys.exit(0)
+
+b = stanford_bunny()
+scene = b.freeze()
+bvh = build_sah(scene.mesh)
+if bvh is None:
+    bvh = lbvh_build(scene.mesh.positions, scene.mesh.faces,
+                     scene.mesh.face_valid)
+clusters, table = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
+                               scene.mesh.face_valid, leaf=64)
+num_words = -(-clusters.num_clusters // 32)
+print(f"gate: platform={plat} table={tuple(table.shape)} "
+      f"clusters={clusters.num_clusters}", flush=True)
+
+fails = 0
+for size in SIZES:
+    b.camera.viewport_width = b.camera.viewport_height = size
+    sc = b.freeze()
+    cfg0 = RenderConfig(width=size, height=size)
+    ids_grid, _ = _block_order(pixel_id_grid(cfg0))
+    ro, rd = camera_rays_for_ids(sc, cfg0, ids_grid,
+                                 jnp.full((size, size, 2), 0.5))
+    ro = ro.reshape(-1, 3)
+    rd = normalize(rd).reshape(-1, 3)
+    r = ro.shape[0]
+    t0 = jnp.full((r,), 1e30)
+    act = jnp.ones((r,), bool)
+
+    # --- phase A: one-hot MXU top-tree walk ---
+    t = time.time()
+    mask_hw = pallas_topwalk(table, ro, rd, t0, act, num_words)
+    jax.block_until_ready(mask_hw)
+    dt_hw = time.time() - t
+    mask_ref = jax.jit(walk_topwalk_jnp, static_argnames=("num_words",))(
+        table, ro, rd, t0, act, num_words=num_words)
+    jax.block_until_ready(mask_ref)
+    ok_a = bool(jnp.array_equal(mask_hw, mask_ref))
+    print(f"[{size}] walk: compiled-on-TPU {dt_hw:.1f}s "
+          f"parity={'OK' if ok_a else 'FAIL'}", flush=True)
+    fails += not ok_a
+
+    # --- phase B: worklist-driven dense cluster intersect ---
+    wl, cnt, overflow = worklists_from_masks(mask_ref, TILE, WORKLIST_CAP,
+                                             clusters.num_clusters)
+    rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+    t = time.time()
+    t_hw, f_hw = pallas_cluster_intersect(wl, cnt, rows_cm, ro, rd, t0)
+    jax.block_until_ready(t_hw)
+    dt_hw = time.time() - t
+    t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd, t0,
+                                          tile=TILE)
+    same_f = bool(jnp.array_equal(f_hw, f_ref))
+    close_t = bool(jnp.allclose(t_hw, t_ref, rtol=1e-5, atol=1e-5))
+    ok_b = same_f and close_t
+    print(f"[{size}] intersect: compiled-on-TPU {dt_hw:.1f}s "
+          f"parity={'OK' if ok_b else 'FAIL'} "
+          f"(faces equal={same_f}, t close={close_t}, "
+          f"overflow={int(jnp.sum(overflow))})", flush=True)
+    fails += not ok_b
+
+print("GATE " + ("PASS" if fails == 0 else f"FAIL ({fails})"), flush=True)
+sys.exit(1 if fails else 0)

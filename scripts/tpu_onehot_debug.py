@@ -1,7 +1,6 @@
 """Localize the TPU device fault in the onehot flagship path: run each
 phase separately on the real bunny workload at increasing sizes."""
 import os
-import sys
 import time
 
 import jax
@@ -17,6 +16,7 @@ from raypt.rng import frame_key, sample_key
 from raypt.scenes import stanford_bunny
 
 SIZE = int(os.environ.get("DBG_SIZE", 256))
+assert SIZE % 32 == 0, "DBG_SIZE must be a multiple of 32 (RAY_TILE=1024)"
 PHASE = os.environ.get("DBG_PHASE", "walk")
 
 b = stanford_bunny()
