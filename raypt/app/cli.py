@@ -36,12 +36,36 @@ def _build_scene(name: str, size, obj: str | None):
     elif name == "obj":
         if not obj:
             raise SystemExit("--obj PATH required for --scene obj")
+        import numpy as np
         from ..io import load_mesh
-        mesh = load_mesh(obj)   # OBJ or PLY by extension/signature
+        mesh = load_mesh(obj)   # OBJ, PLY, or glTF/GLB by signature
         b = SceneBuilder(env=load_reference_envmap())
-        mat = b.add_material(MaterialDef(albedo=(0.8, 0.8, 0.8)))
-        b.add_mesh(mesh["positions"], mesh["normals"], mesh["faces"],
-                   uvs=mesh["uvs"], material=mat)
+        gltf_mats = mesh.get("materials")
+        if gltf_mats and mesh.get("face_materials") is not None:
+            # carry glTF pbr materials through; one add_mesh per
+            # material group (faces of one group share a material id)
+            fm = np.asarray(mesh["face_materials"])
+            ids = [b.add_material(MaterialDef(
+                albedo=m["albedo"], emissive=m["emissive"],
+                roughness=m["roughness"])) for m in gltf_mats]
+            default = b.add_material(MaterialDef(albedo=(0.8, 0.8, 0.8)))
+            for mi in np.unique(fm):
+                mat = ids[mi] if 0 <= mi < len(ids) else default
+                b.add_mesh(mesh["positions"], mesh["normals"],
+                           mesh["faces"][fm == mi], uvs=mesh["uvs"],
+                           material=mat)
+        else:
+            mat = b.add_material(MaterialDef(albedo=(0.8, 0.8, 0.8)))
+            b.add_mesh(mesh["positions"], mesh["normals"], mesh["faces"],
+                       uvs=mesh["uvs"], material=mat)
+        # auto-frame: back the camera off along +z from the bbox center
+        # far enough to fit the mesh in the 90 deg frustum
+        lo = np.min(mesh["positions"], axis=0)
+        hi = np.max(mesh["positions"], axis=0)
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - lo)) / 2 or 1.0
+        b.camera.position = tuple(center + np.array([0, 0, 2.2 * radius]))
+        b.camera.angle_y = 0.0
     else:
         raise SystemExit(f"unknown scene {name!r}")
     b.camera.viewport_width, b.camera.viewport_height = size

@@ -163,18 +163,25 @@ def load_ply(path_or_bytes):
 
 
 def load_mesh(path):
-    """Format-dispatching mesh load (OBJ or PLY by extension/signature) —
-    the build's stand-in for Assimp's any-format ImportScene entry
-    point (AssimpLoader.h:23)."""
+    """Format-dispatching mesh load (OBJ, PLY, or glTF/GLB by
+    extension/signature) — the build's stand-in for Assimp's any-format
+    ImportScene entry point (AssimpLoader.h:23)."""
     p = str(path)
-    if p.lower().endswith(".ply"):
+    low = p.lower()
+    if low.endswith(".ply"):
         return load_ply(p)
-    if p.lower().endswith(".obj"):
+    if low.endswith((".gltf", ".glb")):
+        from .gltf import load_gltf
+        return load_gltf(p)
+    if low.endswith(".obj"):
         from .obj import load_obj
         return load_obj(p)
     with open(p, "rb") as f:
         head = f.read(4)
     if head[:3] == b"ply":
         return load_ply(p)
+    if head == b"glTF" or head[:1] == b"{":
+        from .gltf import load_gltf
+        return load_gltf(p)
     from .obj import load_obj
     return load_obj(p)
