@@ -43,7 +43,8 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
                   bvh: Optional[lbvh_mod.LBVH] = None,
                   loss_fn: Callable = l2_image_loss,
                   refit: bool = True,
-                  render_fn: Callable = None):
+                  render_fn: Callable = None,
+                  param_reg: Callable = None):
     """Build a jitted optimization step over K target views.
 
     step(params, opt_state, views(K-stacked), targets (K,H,W,3), key)
@@ -53,6 +54,9 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
     *current* vertex offsets each step (topology fixed — the LBVH refit
     path, accel.lbvh.refit), keeping traversal correct while vertices
     move without a full rebuild.
+
+    param_reg: optional `params -> scalar` prior added to the loss
+    (e.g. a mesh-Laplacian smoothness penalty on vertex_offsets).
     """
     trainable = tuple(trainable)
     render_fn = render_fn or _render
@@ -78,6 +82,10 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
             return total / k
 
         loss, grads = jax.value_and_grad(loss_over_views)(params)
+        if param_reg is not None:
+            reg, reg_grads = jax.value_and_grad(param_reg)(params)
+            loss = loss + reg
+            grads = jax.tree_util.tree_map(jnp.add, grads, reg_grads)
         grads = freeze_except(grads, trainable)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -133,9 +141,15 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
                           bvh: Optional[lbvh_mod.LBVH] = None,
                           loss_fn: Callable = l2_image_loss,
                           refit: bool = True,
-                          render_fn: Callable = None):
+                          render_fn: Callable = None,
+                          param_reg: Callable = None):
     """View-sharded fit step (BASELINE config #5: 16 target views,
     gradient descent sharded over the pod slice).
+
+    param_reg: optional `params -> scalar` prior added to the loss —
+    applied OUTSIDE shard_map on the replicated params, so its
+    gradient is not multiplied by the mesh size by the replicated-input
+    transpose psum.
 
     Views are the data axis: each device renders + differentiates its
     own K/n view slice against its target slice under `shard_map`; the
@@ -188,6 +202,10 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
             return jax.value_and_grad(local_loss)(p)
 
         loss, grads = shard_loss_grad(params, views, targets)
+        if param_reg is not None:
+            reg, reg_grads = jax.value_and_grad(param_reg)(params)
+            loss = loss + reg
+            grads = jax.tree_util.tree_map(jnp.add, grads, reg_grads)
         grads = freeze_except(grads, trainable)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -19,10 +19,13 @@ SIZE = int(os.environ.get("DBG_SIZE", 256))
 assert SIZE % 32 == 0, "DBG_SIZE must be a multiple of 32 (RAY_TILE=1024)"
 PHASE = os.environ.get("DBG_PHASE", "walk")
 
+print(f"devices: {jax.devices()}", flush=True)
 b = stanford_bunny()
 b.camera.viewport_width = b.camera.viewport_height = SIZE
 scene = b.freeze()
+print("scene frozen", flush=True)
 bvh = build_sah(scene.mesh)
+print("sah built", flush=True)
 clusters, table = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
                                scene.mesh.face_valid, leaf=64)
 print(f"table rows={table.shape}, clusters={clusters.num_clusters}",
