@@ -167,15 +167,12 @@ def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,
     return worklist, jnp.minimum(counts, cap), overflow
 
 
-def worklists_from_masks(mask: jax.Array, tile: int, cap: int,
-                         c_total: int):
-    """Per-tile worklists from per-ray wanted-cluster bitmasks (the
-    one-hot top-walk output, kernels/onehot_walk.py). Unlike
-    tile_worklists' dense box cull, the union here is exact per ray —
-    measured ~5-10x tighter on incoherent wavefronts.
+def tile_union_counts(mask: jax.Array, tile: int, c_total: int):
+    """OR-union of per-ray wanted-cluster bitmasks over each ray tile.
 
     mask (R, CW) int32, R divisible by tile. Returns
-    (worklist (n_tiles, cap) i32 [-1 pad], counts, overflow)."""
+    (union (n_tiles, CW) i32, counts (n_tiles,) i32 — TRUE set-bit
+    counts, not clamped)."""
     r, cw = mask.shape
     n_tiles = r // tile
     m = mask.reshape(n_tiles, tile, cw)
@@ -186,19 +183,49 @@ def worklists_from_masks(mask: jax.Array, tile: int, cap: int,
         m = m[:, :half] | m[:, half:t]
         t = half
     union = m[:, 0]                                    # (n_tiles, CW)
+    pop = jnp.sum(jnp.unpackbits(union.view(jnp.uint8), axis=-1)
+                  .astype(jnp.int32), axis=-1)
+    return union, pop
 
+
+def worklist_slice(union: jax.Array, c_total: int, cap: int,
+                   round_: int = 0):
+    """Compact the union's set bits (ascending cluster id) and return
+    the slice [round_*cap, (round_+1)*cap) as a worklist.
+
+    Returns (worklist (n_tiles, cap) i32 [-1 pad]). Compaction rides
+    top_k (a row-wise scatter here measured ~90ms at 1M rays — top_k
+    stays on the vector unit)."""
+    n_tiles = union.shape[0]
     cid = jnp.arange(c_total, dtype=jnp.int32)
     wanted = (union[:, cid >> 5] >> (cid & 31)[None, :]) & 1   # (T, C)
-    counts = jnp.sum(wanted, axis=1).astype(jnp.int32)
-    # compact set bits to the front via top_k (a row-wise scatter here
-    # measured ~90ms at 1M rays — top_k stays on the vector unit)
+    k = min((round_ + 1) * cap, c_total)
     keys = wanted * (c_total - cid)[None, :]
-    vals, idxs = jax.lax.top_k(keys, min(cap, c_total))
+    vals, idxs = jax.lax.top_k(keys, k)
+    lo = round_ * cap
+    if lo >= k:
+        return jnp.full((n_tiles, cap), -1, jnp.int32)
+    vals = vals[:, lo:]
+    idxs = idxs[:, lo:]
     wl = jnp.where(vals > 0, idxs.astype(jnp.int32), -1)
     if wl.shape[1] < cap:
         wl = jnp.concatenate(
             [wl, jnp.full((n_tiles, cap - wl.shape[1]), -1, jnp.int32)],
             axis=1)
+    return wl
+
+
+def worklists_from_masks(mask: jax.Array, tile: int, cap: int,
+                         c_total: int):
+    """Per-tile worklists from per-ray wanted-cluster bitmasks (the
+    one-hot top-walk output, kernels/onehot_walk.py). Unlike
+    tile_worklists' dense box cull, the union here is exact per ray —
+    measured ~5-10x tighter on incoherent wavefronts.
+
+    mask (R, CW) int32, R divisible by tile. Returns
+    (worklist (n_tiles, cap) i32 [-1 pad], counts, overflow)."""
+    union, counts = tile_union_counts(mask, tile, c_total)
+    wl = worklist_slice(union, c_total, cap, 0)
     return wl, jnp.minimum(counts, cap), counts > cap
 
 

@@ -427,10 +427,41 @@ def find_closest_cluster(scene: Scene, clusters, ro, rd, active=None,
     )
 
 
+def _spread3(x: jax.Array) -> jax.Array:
+    """Spread the low 7 bits of x to every third bit (int32 morton
+    helper): bit k -> bit 3k."""
+    x = x & 0x7F
+    x = (x | (x << 8)) & 0x0100F00F
+    x = (x | (x << 4)) & 0x010C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def onehot_sort_key(flat_o, flat_d, flat_a, bmin, bmax) -> jax.Array:
+    """Ray-binning key for the onehot finder: dead-last |
+    6-bit-per-axis origin morton | direction octant. Rays from the
+    same surface patch heading the same way want nearly the same
+    clusters, so sorting by this key collapses the per-tile mask union
+    toward the per-ray popcount (measured 84 -> ~popmean on the
+    bounce-1 wavefront; the union is what phase B pays for)."""
+    ext = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip(((flat_o - bmin) / ext) * 64.0, 0.0, 63.0).astype(
+        jnp.int32)
+    m = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+         | (_spread3(q[:, 2]) << 2))                        # 18 bits
+    octant = ((flat_d[:, 0] < 0).astype(jnp.int32) * 4
+              + (flat_d[:, 1] < 0).astype(jnp.int32) * 2
+              + (flat_d[:, 2] < 0).astype(jnp.int32))
+    key = (m << 3) | octant
+    return jnp.where(flat_a, key, jnp.int32(1) << 30)
+
+
 def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         use_pallas_walk: bool = True,
                         use_pallas_intersect: bool = True,
-                        cap: int = 0) -> HitIds:
+                        cap: int = 0,
+                        overflow_fallback: bool = True,
+                        sort_rays: bool = True) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -438,10 +469,22 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     Pallas kernel where every node fetch is a one-hot matmul (MXU)
     instead of a gather-unit row fetch (kernels/onehot_walk.py); phase
     B densely intersects each tile's EXACT wanted-cluster union
-    (kernels/cluster_pallas.py). Same contract as the other finders,
-    including the worklist-overflow full-scan fallback."""
+    (kernels/cluster_pallas.py).
+
+    sort_rays bins the wavefront by (alive, origin morton, direction
+    octant) before tiling — exactness is unaffected (each ray's own
+    mask is always inside its tile's union), but incoherent secondary
+    wavefronts get ~20x tighter unions.
+
+    overflow_fallback handles tiles whose union exceeds `cap` with
+    additional BOUNDED phase-B rounds over worklist slices
+    [r*cap, (r+1)*cap) — each behind a lax.cond that only fires if any
+    tile actually has that many clusters. (Round 2's single exhaustive
+    full-scan cond was unbounded work — tile_count x c_total dense
+    tests — and hit the device watchdog on the bounce-1 wavefront at
+    1024^2: the BENCH_r02 'kernel fault'.)"""
     from .clusters import (WORKLIST_CAP, intersect_worklist_jnp,
-                           worklists_from_masks)
+                           tile_union_counts, worklist_slice)
     from .ctree import walk_topwalk_jnp
     from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
     from ..kernels.onehot_walk import RAY_TILE, pallas_topwalk
@@ -465,6 +508,21 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
         flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
 
+    inv = None
+    if sort_rays and flat_o.shape[0] > TILE:
+        cb_min = jnp.min(jnp.where(clusters.valid[:, None],
+                                   clusters.bmin, BIG), axis=0)
+        cb_max = jnp.max(jnp.where(clusters.valid[:, None],
+                                   clusters.bmax, -BIG), axis=0)
+        skey = onehot_sort_key(flat_o, flat_d, flat_a, cb_min, cb_max)
+        order = jnp.argsort(skey, stable=True)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
+        # barrier: keep the permutation gathers materialized (see
+        # find_closest_packed)
+        flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
+            (flat_o[order], flat_d[order], flat_t[order], flat_a[order]))
+
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
     if use_pallas_walk:
@@ -474,34 +532,72 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         mask = walk_topwalk_jnp(table, flat_o, flat_d, flat_t, flat_a,
                                 num_words)
 
-    wl, cnt, overflow = worklists_from_masks(mask, TILE, cap, c_total)
+    union, counts = tile_union_counts(mask, TILE, c_total)
+    wl = worklist_slice(union, c_total, cap, 0)
+    cnt = jnp.minimum(counts, cap)
     seed = jnp.where(flat_a, flat_t, -BIG)
     if use_pallas_intersect:
         rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
-        t_best, face = pallas_cluster_intersect(wl, cnt, rows_cm, flat_o,
-                                                flat_d, seed,
-                                                interpret=not _tpu_backend())
+
+        def isect(wl_, cnt_, t0_):
+            return pallas_cluster_intersect(wl_, cnt_, rows_cm, flat_o,
+                                            flat_d, t0_,
+                                            interpret=not _tpu_backend())
     else:
-        t_best, face = intersect_worklist_jnp(clusters, wl, cnt, flat_o,
-                                              flat_d, seed, tile=TILE)
+        def isect(wl_, cnt_, t0_):
+            return intersect_worklist_jnp(clusters, wl_, cnt_, flat_o,
+                                          flat_d, t0_, tile=TILE)
 
-    n_tiles = flat_o.shape[0] // TILE
+    t_best, face = isect(wl, cnt, seed)
 
-    def _full_scan(_):
-        wl_full = jnp.broadcast_to(
-            jnp.arange(c_total, dtype=jnp.int32)[None, :],
-            (n_tiles, c_total))
-        cnt_full = jnp.full((n_tiles,), c_total, jnp.int32)
-        return intersect_worklist_jnp(clusters, wl_full, cnt_full, flat_o,
-                                      flat_d, seed, tile=TILE)
+    if overflow_fallback and c_total > cap:
+        # bounded residual: if any tile's union exceeds cap, keep
+        # consuming worklist slices [r*cap, (r+1)*cap) until the max
+        # count is covered. One lax.cond guards the whole thing, and
+        # every round is bounded (cap slots), so the fallback can cost
+        # at most ceil(c_total/cap) kernel passes — never the
+        # unbounded tile_count x c_total dense scan that round 2 shipped.
+        n_rounds = -(-c_total // cap)
 
-    def _keep(_):
-        return jnp.full_like(t_best, BIG), jnp.full_like(face, -1)
+        def _residual(args):
+            t_in, f_in = args
+            cid = jnp.arange(c_total, dtype=jnp.int32)
+            wanted = (union[:, cid >> 5] >> (cid & 31)[None, :]) & 1
+            keys = wanted * (c_total - cid)[None, :]
+            vals, idxs = jax.lax.top_k(keys, c_total)
+            wl_full = jnp.where(vals > 0, idxs.astype(jnp.int32), -1)
+            padc = n_rounds * cap - c_total
+            if padc:
+                wl_full = jnp.concatenate(
+                    [wl_full, jnp.full((wl_full.shape[0], padc), -1,
+                                       jnp.int32)], axis=1)
+            max_cnt = jnp.max(counts)
 
-    t_fb, f_fb = jax.lax.cond(jnp.any(overflow), _full_scan, _keep, None)
-    ov_ray = jnp.repeat(overflow, TILE)
-    t_best = jnp.where(ov_ray, t_fb, t_best)
-    face = jnp.where(ov_ray, f_fb, face)
+            def cond_fn(st):
+                r = st[0]
+                return (r * cap < max_cnt) & (r < n_rounds)
+
+            def body_fn(st):
+                r, t_c, f_c = st
+                wl_r = jax.lax.dynamic_slice_in_dim(wl_full, r * cap,
+                                                    cap, 1)
+                cnt_r = jnp.clip(counts - r * cap, 0, cap)
+                t_r, f_r = isect(wl_r, cnt_r, t_c)
+                keep_new = f_r >= 0
+                return (r + 1, jnp.where(keep_new, t_r, t_c),
+                        jnp.where(keep_new, f_r, f_c))
+
+            _, t_o, f_o = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.int32(1), t_in, f_in))
+            return t_o, f_o
+
+        t_best, face = jax.lax.cond(jnp.any(counts > cap), _residual,
+                                    lambda a: a, (t_best, face))
+
+    if inv is not None:
+        t_best = t_best[inv]
+        face = face[inv]
+        flat_a = flat_a[inv]
     t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
     face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
     tri_wins = face >= 0

@@ -18,6 +18,17 @@ from raypt.scenes import stanford_bunny
 SIZE = int(os.environ.get("DBG_SIZE", 256))
 assert SIZE % 32 == 0, "DBG_SIZE must be a multiple of 32 (RAY_TILE=1024)"
 PHASE = os.environ.get("DBG_PHASE", "walk")
+REPS = int(os.environ.get("DBG_REPS", 3))
+
+
+def steady(fn, *args):
+    """Post-compile best-of-REPS wall time for fn(*args)."""
+    times = []
+    for _ in range(REPS):
+        t = time.time()
+        jax.block_until_ready(fn(*args))
+        times.append(time.time() - t)
+    return min(times)
 
 print(f"devices: {jax.devices()}", flush=True)
 b = stanford_bunny()
@@ -56,14 +67,21 @@ if PHASE == "walk":
     print(f"walk ok: {time.time()-t:.1f}s, popcount mean "
           f"{float(jnp.mean(jnp.sum(jnp.unpackbits(mask.view(jnp.uint8), axis=-1), axis=-1))):.1f}",
           flush=True)
+    dt = steady(lambda: pallas_topwalk(table, ro, rd, t0, act, num_words))
+    print(f"walk steady {dt*1e3:.1f} ms ({W*H/dt/1e6:.1f} Mray/s)",
+          flush=True)
 elif PHASE == "finder":
     from raypt.accel.traverse import find_closest_onehot
     t = time.time()
-    hits = jax.jit(lambda o, d: find_closest_onehot(
-        scene, (clusters, table), o, d))(ro, rd)
+    f = jax.jit(lambda o, d: find_closest_onehot(
+        scene, (clusters, table), o, d))
+    hits = f(ro, rd)
     jax.block_until_ready(hits.t)
     print(f"finder ok: {time.time()-t:.1f}s, hit frac "
           f"{float(jnp.mean(hits.tri >= 0)):.3f}", flush=True)
+    dt = steady(lambda: f(ro, rd).t)
+    print(f"finder steady {dt*1e3:.1f} ms ({W*H/dt/1e6:.1f} Mray/s)",
+          flush=True)
 elif PHASE == "fwd":
     cfg = RenderConfig(width=SIZE, height=SIZE, samples_per_pixel=1,
                        num_bounces=4, backend="onehot",
@@ -79,6 +97,10 @@ elif PHASE == "fwd":
     img = fwd(key)
     jax.block_until_ready(img)
     print(f"fwd ok: {time.time()-t:.1f}s mean={float(img.mean()):.4f}",
+          flush=True)
+    dt = steady(fwd, key)
+    segs = W * H * cfg.num_bounces
+    print(f"fwd steady {dt*1e3:.1f} ms ({segs/dt/1e6:.1f} Mray-seg/s)",
           flush=True)
 elif PHASE == "fwdbwd":
     cfg = RenderConfig(width=SIZE, height=SIZE, samples_per_pixel=1,
@@ -102,5 +124,9 @@ elif PHASE == "fwdbwd":
     out = fwd_bwd(scene.mesh.positions, scene.materials.albedo, key)
     jax.block_until_ready(out)
     print(f"fwdbwd ok: {time.time()-t:.1f}s loss={float(out[0]):.5f}",
+          flush=True)
+    dt = steady(fwd_bwd, scene.mesh.positions, scene.materials.albedo, key)
+    segs = W * H * cfg.num_bounces * 2
+    print(f"fwdbwd steady {dt*1e3:.1f} ms ({segs/dt/1e6:.1f} Mray-seg/s)",
           flush=True)
 print("done", flush=True)
