@@ -27,6 +27,13 @@ Round 3 re-pins against the FRAMED bunny (~33% coverage) measured on
 the bvh backend on TPU v5e; `vs_baseline` uses the framed pin, and
 both pins + the workload description ride in `extra` so the number is
 self-describing.
+
+Measured 2026-08-20 (this chip, `python bench.py --child bvh`): the
+bvh backend does 1.15 Mray-seg/s on the framed workload (7.29 s/step)
+— the empty-frame numbers (13.5/18.0) were ~13x optimistic because
+misses exit the skip-link walk almost immediately. All round-1 packed
+layout tuning was performed on that empty frame. The onehot flagship
+replaces it outright: same workload, same accounting, ~10x.
 """
 import json
 import os
@@ -39,8 +46,9 @@ import time
 # trail only.
 BASELINE_LEGACY_EMPTY_FRAME_MRAYS = 13.5
 # Round-3 pin: bvh backend, framed bunny (commit 5be5820 scene), TPU
-# v5e, 1024^2 x 4 bounces fwd+bwd. vs_baseline reports against this.
-BASELINE_FRAMED_MRAYS = 14.4
+# v5e, 1024^2 x 4 bounces fwd+bwd, MEASURED 2026-08-20 (step 7.29 s).
+# vs_baseline reports against this.
+BASELINE_FRAMED_MRAYS = 1.15
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))

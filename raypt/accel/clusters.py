@@ -30,7 +30,12 @@ from ..core.math3d import BIG
 from .lbvh import LBVH
 
 CLUSTER_LEAF = 64       # max triangles per cluster
-WORKLIST_CAP = 192      # max clusters a single ray tile may touch
+# Per-tile worklist capacity. 512 covers the worst tile on the bench
+# workload in ONE kernel pass (measured max union 457 on the bounce-1
+# wavefront at 1024^2; 675 ms fwd vs 693 ms for cap=192 + residual
+# rounds). Tiles needing more spill into the bounded residual rounds
+# of find_closest_onehot. SMEM block cost: 8 x cap x 4 B = 16 KB.
+WORKLIST_CAP = 512
 
 
 @struct.dataclass
@@ -86,10 +91,16 @@ def build_clusters(bvh: LBVH, positions: jax.Array, faces: jax.Array,
     bmax = jnp.full((c_cap + 1, 3), -BIG, jnp.float32).at[tgt].set(bvh.bmax)
     cvalid = jnp.zeros((c_cap + 1,), bool).at[tgt].set(cut)
 
-    # triangle blocks: lf[starts : starts+counts] padded to `leaf`
+    # triangle blocks: lf[starts : starts+counts] padded to `leaf`,
+    # built at CLUSTER scale (c_cap+1, leaf), not tree scale — a
+    # (2N-1, leaf, 3) gather materializes eagerly with the minor dim
+    # padded to a 128-lane tile and OOMs HBM at leaf=256 on the bunny
+    cl_start = jnp.zeros((c_cap + 1,), jnp.int32).at[tgt].set(starts)
+    cl_count = jnp.zeros((c_cap + 1,), jnp.int32).at[tgt].set(
+        jnp.where(cut, counts, 0))
     lf = bvh.leaf_face
-    slot = starts[:, None] + jnp.arange(leaf)[None, :]
-    slot_ok = (jnp.arange(leaf)[None, :] < counts[:, None]) & cut[:, None]
+    slot = cl_start[:, None] + jnp.arange(leaf)[None, :]
+    slot_ok = jnp.arange(leaf)[None, :] < cl_count[:, None]
     tri_ids = jnp.where(slot_ok, lf[jnp.clip(slot, 0, n - 1)], 0)
     fvalid = slot_ok & face_valid[tri_ids]
     p0 = positions[faces[tri_ids, 0]]
@@ -99,10 +110,9 @@ def build_clusters(bvh: LBVH, positions: jax.Array, faces: jax.Array,
     e2 = jnp.where(fvalid[..., None], p2 - p0, 0.0)
     fid_f = jax.lax.bitcast_convert_type(tri_ids.astype(jnp.int32),
                                          jnp.float32)
-    rows = jnp.concatenate([
+    tri_rows = jnp.concatenate([
         jnp.where(fvalid[..., None], p0, 0.0), e1, e2, fid_f[..., None],
         jnp.zeros(p0.shape[:-1] + (2,), jnp.float32)], axis=-1)
-    tri_rows = jnp.zeros((c_cap + 1, leaf, 12), jnp.float32).at[tgt].set(rows)
 
     return Clusters(bmin=bmin[:c_cap], bmax=bmax[:c_cap],
                     tri_rows=tri_rows[:c_cap], valid=cvalid[:c_cap])
@@ -165,6 +175,23 @@ def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,
     counts = counts.reshape(n_tiles)
     overflow = counts > cap
     return worklist, jnp.minimum(counts, cap), overflow
+
+
+def first_wanted(mask: jax.Array) -> jax.Array:
+    """Per-ray id of the lowest set bit in the wanted-cluster bitmask
+    (= nearest-in-morton wanted cluster), or 1<<29 when the mask is
+    empty. Used as the phase-B ray-binning key: rays sharing their
+    first wanted cluster share most of their worklist, so tiles of
+    them have unions near the per-ray popcount.
+
+    mask (R, CW) int32. Returns (R,) int32."""
+    lsb = mask & -mask                                  # isolate low bit
+    f = lsb.view(jnp.uint32).astype(jnp.float32)
+    idx = (f.view(jnp.uint32) >> 23).astype(jnp.int32) - 127  # log2
+    cw = mask.shape[1]
+    base = jnp.arange(cw, dtype=jnp.int32) * 32
+    cand = jnp.where(lsb != 0, base[None, :] + idx, jnp.int32(1) << 29)
+    return jnp.min(cand, axis=1)
 
 
 def tile_union_counts(mask: jax.Array, tile: int, c_total: int):

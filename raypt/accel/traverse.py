@@ -461,7 +461,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         use_pallas_intersect: bool = True,
                         cap: int = 0,
                         overflow_fallback: bool = True,
-                        sort_rays: bool = True) -> HitIds:
+                        sort_rays: bool = False,
+                        tile_b: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -471,10 +472,18 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     B densely intersects each tile's EXACT wanted-cluster union
     (kernels/cluster_pallas.py).
 
-    sort_rays bins the wavefront by (alive, origin morton, direction
-    octant) before tiling — exactness is unaffected (each ray's own
-    mask is always inside its tile's union), but incoherent secondary
-    wavefronts get ~20x tighter unions.
+    sort_rays (default OFF — measured a net loss, kept for
+    experiments): pre-walk alive compaction + post-walk binning by
+    each ray's first wanted cluster id (clusters.first_wanted).
+    Exactness is unaffected (each ray's own mask is always inside its
+    tile's union), but on the 1024^2 bunny fwd render every tried key
+    LOST to the natural block-major ray order: none 641 ms, (origin
+    morton | direction octant) 832 ms (tile-union max 457 -> 705 —
+    same-origin primaries collapse to an octant-only key), first
+    wanted cluster 1348 ms (lowest-id bit is not a similarity key, and
+    in-program 1M-ray argsort + mask permutes are >100 ms). The
+    32x32-pixel block layout's spatial locality is already the best
+    grouping we found.
 
     overflow_fallback handles tiles whose union exceeds `cap` with
     additional BOUNDED phase-B rounds over worklist slices
@@ -483,13 +492,15 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     full-scan cond was unbounded work — tile_count x c_total dense
     tests — and hit the device watchdog on the bounce-1 wavefront at
     1024^2: the BENCH_r02 'kernel fault'.)"""
-    from .clusters import (WORKLIST_CAP, intersect_worklist_jnp,
-                           tile_union_counts, worklist_slice)
+    from .clusters import (WORKLIST_CAP, first_wanted,
+                           intersect_worklist_jnp, tile_union_counts,
+                           worklist_slice)
     from .ctree import walk_topwalk_jnp
     from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
     from ..kernels.onehot_walk import RAY_TILE, pallas_topwalk
     clusters, table = accel
     cap = cap or WORKLIST_CAP
+    tile_b = tile_b or TILE
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
     ts, si = _closest_sphere(scene, ro, rd)
     shape = ro.shape[:-1]
@@ -499,7 +510,7 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     flat_a = (jnp.ones(flat_t.shape, bool) if active is None
               else active.reshape(-1))
     n = flat_o.shape[0]
-    chunk = max(8 * TILE, RAY_TILE)
+    chunk = max(8 * tile_b, RAY_TILE)
     pad = (-n) % chunk
     if pad:
         flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
@@ -508,20 +519,16 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
         flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
 
-    inv = None
-    if sort_rays and flat_o.shape[0] > TILE:
-        cb_min = jnp.min(jnp.where(clusters.valid[:, None],
-                                   clusters.bmin, BIG), axis=0)
-        cb_max = jnp.max(jnp.where(clusters.valid[:, None],
-                                   clusters.bmax, -BIG), axis=0)
-        skey = onehot_sort_key(flat_o, flat_d, flat_a, cb_min, cb_max)
-        order = jnp.argsort(skey, stable=True)
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0], dtype=order.dtype))
-        # barrier: keep the permutation gathers materialized (see
-        # find_closest_packed)
+    do_sort = sort_rays and flat_o.shape[0] > tile_b
+    if do_sort:
+        # pre-walk alive compaction (stable): phase A's per-tile
+        # while_loop runs to the MAX lane trip count, so grouping dead
+        # rays turns trailing tiles into zero-iteration exits — walk
+        # cost scales with the alive fraction on deep bounces
+        order1 = jnp.argsort(~flat_a, stable=True)
         flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
-            (flat_o[order], flat_d[order], flat_t[order], flat_a[order]))
+            (flat_o[order1], flat_d[order1], flat_t[order1],
+             flat_a[order1]))
 
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
@@ -532,7 +539,20 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         mask = walk_topwalk_jnp(table, flat_o, flat_d, flat_t, flat_a,
                                 num_words)
 
-    union, counts = tile_union_counts(mask, TILE, c_total)
+    inv = None
+    if do_sort:
+        skey = jnp.where(flat_a, first_wanted(mask), jnp.int32(1) << 29)
+        order2 = jnp.argsort(skey, stable=True)
+        order = order1[order2]
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
+        # barrier: keep the permutation gathers materialized (see
+        # find_closest_packed)
+        mask, flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
+            (mask[order2], flat_o[order2], flat_d[order2],
+             flat_t[order2], flat_a[order2]))
+
+    union, counts = tile_union_counts(mask, tile_b, c_total)
     wl = worklist_slice(union, c_total, cap, 0)
     cnt = jnp.minimum(counts, cap)
     seed = jnp.where(flat_a, flat_t, -BIG)
@@ -542,11 +562,12 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         def isect(wl_, cnt_, t0_):
             return pallas_cluster_intersect(wl_, cnt_, rows_cm, flat_o,
                                             flat_d, t0_,
-                                            interpret=not _tpu_backend())
+                                            interpret=not _tpu_backend(),
+                                            tile=tile_b)
     else:
         def isect(wl_, cnt_, t0_):
             return intersect_worklist_jnp(clusters, wl_, cnt_, flat_o,
-                                          flat_d, t0_, tile=TILE)
+                                          flat_d, t0_, tile=tile_b)
 
     t_best, face = isect(wl, cnt, seed)
 

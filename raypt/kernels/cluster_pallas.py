@@ -94,16 +94,16 @@ def _kernel(worklist_ref, counts_ref, o_ref, d_ref, t0_ref, rows_ref,
     f_ref[:] = fb
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "tile"))
 def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
-                             interpret: bool = False):
+                             interpret: bool = False, tile: int = TILE):
     """worklist (n_tiles, cap) i32, counts (n_tiles,) i32,
-    tri_rows_cm (C, 12, LEAF) f32, ro/rd (R, 3) with R = n_tiles*TILE,
+    tri_rows_cm (C, 12, LEAF) f32, ro/rd (R, 3) with R = n_tiles*tile,
     t0 (R,). Returns (t_best (R,), face (R,) i32, -1 = miss)."""
     r = ro.shape[0]
     n_tiles = worklist.shape[0]
-    assert r == n_tiles * TILE
-    assert n_tiles % 8 == 0, "pad ray count to 8*TILE multiples" 
+    assert r == n_tiles * tile
+    assert n_tiles % 8 == 0, "pad ray count to 8*tile multiples"
 
     o_t = ro.T.reshape(3, r)
     d_t = rd.T.reshape(3, r)
@@ -117,18 +117,18 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri table
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

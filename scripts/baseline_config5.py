@@ -32,7 +32,7 @@ from raypt.accel import build
 from raypt.core.scene import MaterialDef, SceneBuilder
 from raypt.diff.inverse import (make_fit_step_sharded, render_rgbd,
                                 stack_views, view_at, _render)
-from raypt.diff.params import SceneParams, apply_params
+from raypt.diff.params import SceneParams, apply_params, geometry_offsets
 from raypt.io import write_png
 from raypt.render import to_display
 from raypt.render.integrator import make_finder
@@ -65,7 +65,10 @@ b.add_mesh(mesh_d["positions"], mesh_d["normals"], faces,
 b.camera.viewport_width = b.camera.viewport_height = SIZE
 b.camera.angle_y = 180.0
 
-# 16 orbiting views around the bunny (center ~(32.5, -1.5, 20), r=22)
+# 16 orbiting views around the bunny (center ~(32.5, -1.5, 20), r=22).
+# (An elevated two-ring arrangement was tried to observe the underside
+# and measured WORSE — the bunny's open base lets below-horizon views
+# see through to backfaces, poisoning the depth/rgb targets.)
 views = []
 cx, cy, cz, r = 32.5, -1.5, 20.0, 22.0
 for k in range(K_VIEWS):
@@ -113,7 +116,10 @@ targets = targets_at(cfg)
 write_png(os.path.join(OUT, "config5_target.png"),
           to_display(targets[0][..., :3]))
 
-DEPTH_W = float(os.environ.get("C5_DEPTH_W", 0.05))
+# 0.5 measured much better than 0.05: the rgb term alone lets albedo
+# absorb geometry error (loss falls while vertex RMSE creeps up);
+# depth is the direct geometry channel
+DEPTH_W = float(os.environ.get("C5_DEPTH_W", 0.5))
 
 
 def rgbd_loss(img, tgt):
@@ -156,28 +162,40 @@ optimizer = optax.adam(optax.cosine_decay_schedule(LR, total_steps,
 # corruption and its correction are both low-frequency)
 from raypt.diff.priors import make_laplacian_reg
 
-params = SceneParams.init(bad)
+# Coarse scalar displacement lattice (along vertex normals): the
+# geometry parameter the views can actually pin down everywhere — a
+# frequency-limited field lets the observed surface determine occluded
+# regions (orbit views never see the underside). Phase 1 trains the
+# lattice + albedo only; later phases add free per-vertex refinement.
+LATTICE = int(os.environ.get("C5_LATTICE", 8))
+params = SceneParams.init(bad, lattice=LATTICE)
 opt_state = optimizer.init(params)
 stacked = stack_views(views)
 
 curve = []
 t0 = time.time()
 gi = 0
-for size_p, steps_p, lap_p in phases:
+for pi, (size_p, steps_p, lap_p) in enumerate(phases):
     cfg_p = cfg_at(size_p)
     targets_p = targets if size_p == cfg.width else targets_at(cfg_p)
     reg = make_laplacian_reg(bad.mesh.faces, bad.mesh.face_valid,
                              bad.mesh.positions.shape[0], weight=lap_p)
+    train = ["albedo_logits"]
+    if LATTICE:
+        train.append("lattice_scalar")
+    if not LATTICE or pi > 0:
+        train.append("vertex_offsets")
     step = make_fit_step_sharded(bad, cfg_p, optimizer,
-                                 ("vertex_offsets", "albedo_logits"),
+                                 tuple(train),
                                  vmesh, bvh=bad_bvh, refit=True,
                                  loss_fn=rgbd_loss, render_fn=render_rgbd,
                                  param_reg=reg)
     for _ in range(steps_p):
         params, opt_state, loss = step(params, opt_state, stacked,
                                        targets_p, key)
+        off_now = geometry_offsets(bad, params)
         verr = float(jnp.sqrt(jnp.mean(
-            (params.vertex_offsets[:nv_real] + true_off[:nv_real]) ** 2)))
+            (off_now[:nv_real] + true_off[:nv_real]) ** 2)))
         curve.append({"step": gi, "size": size_p, "loss": float(loss),
                       "vertex_rmse": verr})
         if gi % 10 == 0:
@@ -201,6 +219,7 @@ report = {
               f"{K_VIEWS} views, view-sharded over {n_dev} devices",
     "faces": int(faces.shape[0]), "phases": phases,
     "steps": total_steps, "laplacian_weight": LAP_W, "lr": LR,
+    "lattice": LATTICE, "depth_weight": DEPTH_W,
     "initial_loss": curve[0]["loss"], "final_loss": curve[-1]["loss"],
     "initial_vertex_rmse": curve[0]["vertex_rmse"],
     "final_vertex_rmse": curve[-1]["vertex_rmse"],

@@ -31,17 +31,21 @@ BOUNCES = int(os.environ.get("BIS_BOUNCES", 4))
 WALK = bool(int(os.environ.get("BIS_WALK", 1)))
 INTERSECT = bool(int(os.environ.get("BIS_INTERSECT", 1)))
 OVERFLOW = bool(int(os.environ.get("BIS_OVERFLOW", 1)))
+SORT = bool(int(os.environ.get("BIS_SORT", 0)))
+CAP = int(os.environ.get("BIS_CAP", 0))
+LEAF = int(os.environ.get("BIS_LEAF", 64))
+TILE_B = int(os.environ.get("BIS_TILE", 0))
 
 print(f"size={SIZE} bounces={BOUNCES} walk={'pallas' if WALK else 'jnp'} "
-      f"intersect={'pallas' if INTERSECT else 'jnp'} overflow={OVERFLOW}",
-      flush=True)
+      f"intersect={'pallas' if INTERSECT else 'jnp'} overflow={OVERFLOW} "
+      f"sort={SORT} cap={CAP} leaf={LEAF} tile_b={TILE_B}", flush=True)
 
 b = stanford_bunny()
 b.camera.viewport_width = b.camera.viewport_height = SIZE
 scene = b.freeze()
 bvh = build_sah(scene.mesh)
 accel = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
-                     scene.mesh.face_valid, leaf=64)
+                     scene.mesh.face_valid, leaf=LEAF)
 cfg = RenderConfig(width=SIZE, height=SIZE, samples_per_pixel=1,
                    num_bounces=BOUNCES, backend="onehot",
                    russian_roulette=True)
@@ -50,7 +54,8 @@ def my_finder(scene_, ro, rd, active=None):
     return find_closest_onehot(scene_, accel, ro, rd, active=active,
                                use_pallas_walk=WALK,
                                use_pallas_intersect=INTERSECT,
-                               overflow_fallback=OVERFLOW)
+                               overflow_fallback=OVERFLOW,
+                               sort_rays=SORT, cap=CAP, tile_b=TILE_B)
 
 
 key = jax.random.key(0)

@@ -10,7 +10,6 @@ Env: SWEEP_LEAVES="64,128,256" SWEEP_TILES="512,1024"
 """
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -82,10 +81,10 @@ for leaf in LEAVES:
                 print(f"  walk leaf={leaf} rt={rt} u={un}: FAIL "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                 continue
-    f = jax.jit(partial(find_closest_onehot, overflow_fallback=True))
+    f = jax.jit(lambda o, d: find_closest_onehot(scene, accel, o, d))
     try:
-        dt = steady(lambda: f(scene, accel, ro, rd).t)
-        hits = f(scene, accel, ro, rd)
+        dt = steady(lambda: f(ro, rd).t)
+        hits = f(ro, rd)
         print(f"  finder leaf={leaf}: {dt*1e3:.1f} ms "
               f"({R/dt/1e6:.1f} Mray/s) hit={float(jnp.mean(hits.tri >= 0)):.3f}",
               flush=True)

@@ -45,13 +45,29 @@ C_TOTAL = clusters.num_clusters
 NW = -(-C_TOTAL // 32)
 
 
+SORT = int(os.environ.get("OVF_SORT", 0))  # 1=morton|octant 2=first-wanted
+
+
 def walk_stats(ro, rd, alive):
     """(popmean, tile-cnt mean, p95, max, frac>192) for one wavefront."""
-    from raypt.accel.clusters import worklists_from_masks
+    from raypt.accel.clusters import first_wanted, worklists_from_masks
     from raypt.kernels.cluster_pallas import TILE
     from raypt.kernels.onehot_walk import pallas_topwalk
+    if SORT == 1:
+        from raypt.accel.traverse import onehot_sort_key
+        cb_min = jnp.min(jnp.where(clusters.valid[:, None],
+                                   clusters.bmin, BIG), axis=0)
+        cb_max = jnp.max(jnp.where(clusters.valid[:, None],
+                                   clusters.bmax, -BIG), axis=0)
+        order = jnp.argsort(onehot_sort_key(ro, rd, alive, cb_min, cb_max),
+                            stable=True)
+        ro, rd, alive = ro[order], rd[order], alive[order]
     n = ro.shape[0]
     mask = pallas_topwalk(table, ro, rd, jnp.full((n,), BIG), alive, NW)
+    if SORT == 2:
+        skey = jnp.where(alive, first_wanted(mask), jnp.int32(1) << 29)
+        order = jnp.argsort(skey, stable=True)
+        mask, alive = mask[order], alive[order]
     _, cnt, _ = worklists_from_masks(mask, TILE, C_TOTAL, C_TOTAL)
     pop = jnp.sum(jnp.unpackbits(mask.view(jnp.uint8), axis=-1), axis=-1)
     na = jnp.sum(alive)
