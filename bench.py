@@ -102,8 +102,12 @@ def run_child(backend: str) -> dict:
                     scene.mesh.face_valid)
     if backend == "onehot":
         from raypt.accel.ctree import build_onehot
+        # leaf=128 measured best on this workload (667 ms fwd vs 675
+        # at 64 and 963 at 256 — walk cost halves per doubling, dense
+        # phase-B cost grows; scripts/tpu_onehot_bisect.py sweep)
+        leaf = int(os.environ.get("BENCH_ONEHOT_LEAF", 128))
         bvh = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
-                           scene.mesh.face_valid, leaf=64)
+                           scene.mesh.face_valid, leaf=leaf)
         jax.block_until_ready(bvh[1])
     else:
         jax.block_until_ready(bvh.bmin)

@@ -461,7 +461,7 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         use_pallas_intersect: bool = True,
                         cap: int = 0,
                         overflow_fallback: bool = True,
-                        sort_rays: bool = False,
+                        sort_rays="none",
                         tile_b: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
@@ -472,17 +472,21 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     B densely intersects each tile's EXACT wanted-cluster union
     (kernels/cluster_pallas.py).
 
-    sort_rays (default OFF — measured a net loss, kept for
-    experiments): pre-walk alive compaction + post-walk binning by
-    each ray's first wanted cluster id (clusters.first_wanted).
-    Exactness is unaffected (each ray's own mask is always inside its
-    tile's union), but on the 1024^2 bunny fwd render every tried key
-    LOST to the natural block-major ray order: none 641 ms, (origin
-    morton | direction octant) 832 ms (tile-union max 457 -> 705 —
-    same-origin primaries collapse to an octant-only key), first
-    wanted cluster 1348 ms (lowest-id bit is not a similarity key, and
-    in-program 1M-ray argsort + mask permutes are >100 ms). The
-    32x32-pixel block layout's spatial locality is already the best
+    sort_rays: "alive" stably compacts live rays to the front before
+    the walk, collapsing phase A's per-tile max trip counts on deep
+    bounces (47/13/3.4% alive at bounces 1-3 but near-full-wavefront
+    walk cost unsorted) — yet measured a net LOSS too (793 vs 667 ms
+    fwd at leaf=128): XLA's 1M-ray argsort costs ~30 ms per bounce,
+    eating the ~150 ms the walk floors promised. Default "none". "mask"
+    additionally re-bins rays after the walk by their first wanted
+    cluster id; "none" disables both. Exactness is unaffected (each
+    ray's own mask is always inside its tile's union). Full re-binning
+    was measured a net LOSS on the 1024^2 bunny fwd render: none
+    641 ms, (origin morton | direction octant) 832 ms (tile-union max
+    457 -> 705 — same-origin primaries collapse to an octant-only
+    key), first-wanted 1348 ms (lowest-id bit is not a similarity key,
+    and the in-program 1M-ray mask permute is expensive). The
+    32x32-pixel block layout's spatial locality is the best phase-B
     grouping we found.
 
     overflow_fallback handles tiles whose union exceeds `cap` with
@@ -496,7 +500,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                            intersect_worklist_jnp, tile_union_counts,
                            worklist_slice)
     from .ctree import walk_topwalk_jnp
-    from ..kernels.cluster_pallas import TILE, pallas_cluster_intersect
+    from ..kernels.cluster_pallas import (TILE,
+                                          pallas_cluster_intersect_mask)
     from ..kernels.onehot_walk import RAY_TILE, pallas_topwalk
     clusters, table = accel
     cap = cap or WORKLIST_CAP
@@ -519,16 +524,24 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         flat_t = jnp.concatenate([flat_t, jnp.full((pad,), BIG)])
         flat_a = jnp.concatenate([flat_a, jnp.zeros((pad,), bool)])
 
-    do_sort = sort_rays and flat_o.shape[0] > tile_b
+    mode = {False: "none", True: "mask"}.get(sort_rays, sort_rays)
+    do_sort = mode != "none" and flat_o.shape[0] > tile_b
+    inv = None
     if do_sort:
         # pre-walk alive compaction (stable): phase A's per-tile
         # while_loop runs to the MAX lane trip count, so grouping dead
         # rays turns trailing tiles into zero-iteration exits — walk
-        # cost scales with the alive fraction on deep bounces
+        # cost scales with the alive fraction on deep bounces. On the
+        # roofline capture, bounces 1-3 carry 47/13/3.4% live rays yet
+        # their scattered layout kept walk_tile_max_sum at ~full-
+        # wavefront level (68k/64k/55k vs 36k step-tiles at bounce 0).
         order1 = jnp.argsort(~flat_a, stable=True)
         flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
             (flat_o[order1], flat_d[order1], flat_t[order1],
              flat_a[order1]))
+        if mode == "alive":
+            inv = jnp.zeros_like(order1).at[order1].set(
+                jnp.arange(order1.shape[0], dtype=order1.dtype))
 
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
@@ -539,8 +552,7 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         mask = walk_topwalk_jnp(table, flat_o, flat_d, flat_t, flat_a,
                                 num_words)
 
-    inv = None
-    if do_sort:
+    if do_sort and mode == "mask":
         skey = jnp.where(flat_a, first_wanted(mask), jnp.int32(1) << 29)
         order2 = jnp.argsort(skey, stable=True)
         order = order1[order2]
@@ -553,23 +565,25 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
              flat_t[order2], flat_a[order2]))
 
     union, counts = tile_union_counts(mask, tile_b, c_total)
-    wl = worklist_slice(union, c_total, cap, 0)
-    cnt = jnp.minimum(counts, cap)
     seed = jnp.where(flat_a, flat_t, -BIG)
     if use_pallas_intersect:
+        # mask-driven kernel: consumes the union bitmask directly (de
+        # Bruijn bit scan in SMEM) — no worklist compaction, no
+        # capacity limit, hence no overflow machinery on this path
         rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
-
-        def isect(wl_, cnt_, t0_):
-            return pallas_cluster_intersect(wl_, cnt_, rows_cm, flat_o,
-                                            flat_d, t0_,
-                                            interpret=not _tpu_backend(),
-                                            tile=tile_b)
+        t_best, face = pallas_cluster_intersect_mask(
+            union, rows_cm, flat_o, flat_d, seed,
+            interpret=not _tpu_backend(), tile=tile_b)
+        overflow_fallback = False
     else:
+        wl = worklist_slice(union, c_total, cap, 0)
+        cnt = jnp.minimum(counts, cap)
+
         def isect(wl_, cnt_, t0_):
             return intersect_worklist_jnp(clusters, wl_, cnt_, flat_o,
                                           flat_d, t0_, tile=tile_b)
 
-    t_best, face = isect(wl, cnt, seed)
+        t_best, face = isect(wl, cnt, seed)
 
     if overflow_fallback and c_total > cap:
         # bounded residual: if any tile's union exceeds cap, keep

@@ -31,14 +31,14 @@ BOUNCES = int(os.environ.get("BIS_BOUNCES", 4))
 WALK = bool(int(os.environ.get("BIS_WALK", 1)))
 INTERSECT = bool(int(os.environ.get("BIS_INTERSECT", 1)))
 OVERFLOW = bool(int(os.environ.get("BIS_OVERFLOW", 1)))
-SORT = bool(int(os.environ.get("BIS_SORT", 0)))
+SORT = os.environ.get("BIS_SORT", "alive")  # none|alive|mask
 CAP = int(os.environ.get("BIS_CAP", 0))
 LEAF = int(os.environ.get("BIS_LEAF", 64))
 TILE_B = int(os.environ.get("BIS_TILE", 0))
 
 print(f"size={SIZE} bounces={BOUNCES} walk={'pallas' if WALK else 'jnp'} "
       f"intersect={'pallas' if INTERSECT else 'jnp'} overflow={OVERFLOW} "
-      f"sort={SORT} cap={CAP} leaf={LEAF} tile_b={TILE_B}", flush=True)
+      f"sort={SORT!r} cap={CAP} leaf={LEAF} tile_b={TILE_B}", flush=True)
 
 b = stanford_bunny()
 b.camera.viewport_width = b.camera.viewport_height = SIZE
