@@ -535,13 +535,22 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         # roofline capture, bounces 1-3 carry 47/13/3.4% live rays yet
         # their scattered layout kept walk_tile_max_sum at ~full-
         # wavefront level (68k/64k/55k vs 36k step-tiles at bounce 0).
-        order1 = jnp.argsort(~flat_a, stable=True)
+        # compaction WITHOUT a sort: the stable alive-first permutation
+        # is two prefix sums (a 1M-ray argsort measured ~30 ms/bounce;
+        # cumsum + scatter is bandwidth-bound). inv1[i] = destination
+        # of ray i; scatter compacts, gather-by-inv1 unsorts.
+        ai = flat_a.astype(jnp.int32)
+        na = jnp.sum(ai)
+        inv1 = jnp.where(flat_a, jnp.cumsum(ai) - 1,
+                         na + jnp.cumsum(1 - ai) - 1)
+
+        def _scat(x):
+            return jnp.zeros_like(x).at[inv1].set(x)
+
         flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
-            (flat_o[order1], flat_d[order1], flat_t[order1],
-             flat_a[order1]))
+            (_scat(flat_o), _scat(flat_d), _scat(flat_t), _scat(flat_a)))
         if mode == "alive":
-            inv = jnp.zeros_like(order1).at[order1].set(
-                jnp.arange(order1.shape[0], dtype=order1.dtype))
+            inv = inv1
 
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
@@ -555,9 +564,9 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     if do_sort and mode == "mask":
         skey = jnp.where(flat_a, first_wanted(mask), jnp.int32(1) << 29)
         order2 = jnp.argsort(skey, stable=True)
-        order = order1[order2]
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0], dtype=order.dtype))
+        inv2 = jnp.zeros_like(order2).at[order2].set(
+            jnp.arange(order2.shape[0], dtype=order2.dtype))
+        inv = inv2[inv1]
         # barrier: keep the permutation gathers materialized (see
         # find_closest_packed)
         mask, flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(

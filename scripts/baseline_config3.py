@@ -48,7 +48,8 @@ bvh = build_sah(scene.mesh) or build(scene.mesh.positions,
                                      scene.mesh.face_valid)
 from raypt.accel.ctree import build_onehot
 accel = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
-                     scene.mesh.face_valid, leaf=64)
+                     scene.mesh.face_valid,
+                     leaf=int(os.environ.get("C3_LEAF", 128)))
 key = jax.random.key(0)
 
 # --- progressive 256 spp render (SPP frames of 1 spp, accumulated) ---

@@ -78,7 +78,15 @@ for size in SIZES:
           f"parity={'OK' if ok_a else 'FAIL'}", flush=True)
     fails += not ok_a
 
-    # --- phase B: worklist-driven dense cluster intersect ---
+    # --- phase B: worklist kernel and mask kernel, cross-checked ---
+    # The jnp oracle scans every worklist slot (O(cap) dense work per
+    # tile); at 1024^2 that is watchdog-scale, so it anchors parity at
+    # the SMALL size only and the large size cross-checks the two
+    # structurally different hardware kernels against each other
+    # (worklist fori_loop vs SMEM de Bruijn bit scan). max union
+    # (primary wavefront) << cap, so the worklist form is exact here.
+    from raypt.accel.clusters import tile_union_counts
+    from raypt.kernels.cluster_pallas import pallas_cluster_intersect_mask
     wl, cnt, overflow = worklists_from_masks(mask_ref, TILE, WORKLIST_CAP,
                                              clusters.num_clusters)
     rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
@@ -86,16 +94,31 @@ for size in SIZES:
     t_hw, f_hw = pallas_cluster_intersect(wl, cnt, rows_cm, ro, rd, t0)
     jax.block_until_ready(t_hw)
     dt_hw = time.time() - t
-    t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd, t0,
-                                          tile=TILE)
-    same_f = bool(jnp.array_equal(f_hw, f_ref))
-    close_t = bool(jnp.allclose(t_hw, t_ref, rtol=1e-5, atol=1e-5))
-    ok_b = same_f and close_t
-    print(f"[{size}] intersect: compiled-on-TPU {dt_hw:.1f}s "
-          f"parity={'OK' if ok_b else 'FAIL'} "
-          f"(faces equal={same_f}, t close={close_t}, "
+    union, counts = tile_union_counts(mask_ref, TILE,
+                                      clusters.num_clusters)
+    t = time.time()
+    t_mw, f_mw = pallas_cluster_intersect_mask(union, rows_cm, ro, rd, t0)
+    jax.block_until_ready(t_mw)
+    dt_mw = time.time() - t
+
+    assert int(jnp.max(counts)) <= WORKLIST_CAP, "gate oracle truncated"
+    same_k = (bool(jnp.array_equal(f_hw, f_mw))
+              and bool(jnp.allclose(t_hw, t_mw, rtol=1e-5, atol=1e-5)))
+    print(f"[{size}] intersect kernels: worklist {dt_hw:.1f}s, "
+          f"mask {dt_mw:.1f}s, cross-parity="
+          f"{'OK' if same_k else 'FAIL'} "
+          f"(max union={int(jnp.max(counts))}, "
           f"overflow={int(jnp.sum(overflow))})", flush=True)
-    fails += not ok_b
+    fails += not same_k
+
+    if size <= 256:
+        t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd,
+                                              t0, tile=TILE)
+        ok_b = (bool(jnp.array_equal(f_hw, f_ref))
+                and bool(jnp.allclose(t_hw, t_ref, rtol=1e-5, atol=1e-5)))
+        print(f"[{size}] intersect vs jnp oracle: "
+              f"parity={'OK' if ok_b else 'FAIL'}", flush=True)
+        fails += not ok_b
 
 print("GATE " + ("PASS" if fails == 0 else f"FAIL ({fails})"), flush=True)
 sys.exit(1 if fails else 0)
