@@ -475,9 +475,13 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     sort_rays: "alive" stably compacts live rays to the front before
     the walk, collapsing phase A's per-tile max trip counts on deep
     bounces (47/13/3.4% alive at bounces 1-3 but near-full-wavefront
-    walk cost unsorted) — yet measured a net LOSS too (793 vs 667 ms
-    fwd at leaf=128): XLA's 1M-ray argsort costs ~30 ms per bounce,
-    eating the ~150 ms the walk floors promised. Default "none". "mask"
+    walk cost unsorted) — yet EVERY implementation measured a net LOSS
+    (fwd at leaf=128: none 667 ms, argsort+gather 793 ms,
+    cumsum+scatter 1105 ms — XLA's 1M argsort is ~30 ms/bounce and a
+    1M-row scatter ~90 ms): the ~150 ms the walk floors promise is
+    cheaper than any global data movement XLA offers. Compaction has
+    to happen inside a kernel via DMA if at all (round-4 item).
+    Default "none". "mask"
     additionally re-bins rays after the walk by their first wanted
     cluster id; "none" disables both. Exactness is unaffected (each
     ray's own mask is always inside its tile's union). Full re-binning
@@ -535,10 +539,10 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         # roofline capture, bounces 1-3 carry 47/13/3.4% live rays yet
         # their scattered layout kept walk_tile_max_sum at ~full-
         # wavefront level (68k/64k/55k vs 36k step-tiles at bounce 0).
-        # compaction WITHOUT a sort: the stable alive-first permutation
-        # is two prefix sums (a 1M-ray argsort measured ~30 ms/bounce;
-        # cumsum + scatter is bandwidth-bound). inv1[i] = destination
-        # of ray i; scatter compacts, gather-by-inv1 unsorts.
+        # compaction without a sort: two prefix sums + scatters.
+        # ALSO a measured loss (see docstring) — XLA 1M-row scatters
+        # run ~90 ms each. inv1[i] = destination of ray i; scatter
+        # compacts, gather-by-inv1 unsorts.
         ai = flat_a.astype(jnp.int32)
         na = jnp.sum(ai)
         inv1 = jnp.where(flat_a, jnp.cumsum(ai) - 1,
