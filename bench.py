@@ -120,26 +120,35 @@ def run_child(backend: str) -> dict:
                 mesh=scene.mesh.replace(positions=v),
                 materials=scene.materials.replace(albedo=a))
             finder = make_finder(s, cfg, bvh)
-            img = render_sample(s, cfg, sample_key(frame_key(k, 0), 0),
-                                finder)
-            return jnp.mean(img)
-        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(verts, albedo)
-        return l, grads
+            img, traced = render_sample(s, cfg,
+                                        sample_key(frame_key(k, 0), 0),
+                                        finder, return_alive=True)
+            return jnp.mean(img), traced
+        (l, traced), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(verts, albedo)
+        return l, traced, grads
 
     v0 = scene.mesh.positions
     a0 = scene.materials.albedo
 
-    # compile
+    # honest compile phases (round-3 VERDICT weak #5: the old <10s
+    # "cache_hit" heuristic conflated trace+lower+cache-load+first-step)
     t0 = time.time()
-    out = fwd_bwd(v0, a0, key)
+    lowered = fwd_bwd.lower(v0, a0, key)
+    lower_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()   # backend compile OR persistent-cache load
+    backend_compile_s = time.time() - t0
+    t0 = time.time()
+    out = compiled(v0, a0, key)
     jax.block_until_ready(out)
-    compile_s = time.time() - t0
+    first_step_s = time.time() - t0
 
     times = []
     for i in range(REPS):
         k = jax.random.fold_in(key, i)
         t0 = time.time()
-        out = fwd_bwd(v0, a0, k)
+        out = compiled(v0, a0, k)   # reuse the explicit executable
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)
@@ -147,6 +156,10 @@ def run_child(backend: str) -> dict:
     # fwd+bwd path segments per step (upper bound, reference accounting)
     segments = WIDTH * HEIGHT * SPP * BOUNCES * 2
     mrays = segments / dt / 1e6
+    # actually-traced segments (rays alive at each bounce; x2 bwd) —
+    # the honest rate alongside the upper-bound accounting
+    traced_counts = [int(x) for x in out[1]]
+    traced_segments = 2 * sum(traced_counts)
     return {
         "metric": "bunny_1024_fwd_bwd",
         "value": round(mrays, 3),
@@ -156,9 +169,15 @@ def run_child(backend: str) -> dict:
             "backend": backend,
             "device": str(jax.devices()[0]),
             "step_seconds": round(dt, 4),
-            "compile_seconds": round(compile_s, 1),
-            "cache_hit": compile_s < 10.0,
+            "times_all": [round(t, 4) for t in times],
+            "time_spread": round(max(times) - min(times), 4),
+            "lower_seconds": round(lower_s, 1),
+            "backend_compile_seconds": round(backend_compile_s, 1),
+            "first_step_seconds": round(first_step_s, 1),
             "segments_upper_bound": segments,
+            "segments_traced": traced_segments,
+            "traced_mrays": round(traced_segments / dt / 1e6, 3),
+            "traced_per_bounce": traced_counts,
             "accounting": "H*W*spp*bounces upper-bound segments, x2 bwd",
             "workload": "framed stanford bunny (~33% px), env + ground",
             "baseline_framed": BASELINE_FRAMED_MRAYS,

@@ -199,7 +199,15 @@ def tile_union_counts(mask: jax.Array, tile: int, c_total: int):
 
     mask (R, CW) int32, R divisible by tile. Returns
     (union (n_tiles, CW) i32, counts (n_tiles,) i32 — TRUE set-bit
-    counts, not clamped)."""
+    counts, not clamped).
+
+    `tile` must be a power of two: the log-tree OR below halves the
+    tile axis each round, and an odd intermediate width would silently
+    numpy-broadcast (n, half, cw) | (n, half+1, cw) and drop the last
+    row's bits (ADVICE r3 medium — reachable since tile_b became a
+    parameter)."""
+    assert tile > 0 and (tile & (tile - 1)) == 0, \
+        f"tile_union_counts requires a power-of-two tile, got {tile}"
     r, cw = mask.shape
     n_tiles = r // tile
     m = mask.reshape(n_tiles, tile, cw)

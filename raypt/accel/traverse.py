@@ -55,6 +55,9 @@ class Hit:
     normal: jax.Array     # (..., 3) shading normal, faces the ray for tris
     uv: jax.Array         # (..., 2)
     mat_id: jax.Array     # (...,) i32
+    front_face: jax.Array  # (...,) bool — ray struck the outside
+                           # (false = exiting a volume; drives the
+                           # dielectric eta in the refraction lobe)
 
 
 # ---------------------------------------------------------------------------
@@ -758,5 +761,7 @@ def recompute_hit(scene: Scene, ro, rd, ids: HitIds) -> Hit:
     uv = jnp.where(is_tri[..., None], tri_uv, 0.0)
     mat = jnp.where(is_tri, tri_mat, jnp.where(is_sph, sph_mat, 0))
     valid = is_tri | is_sph
+    front = jnp.where(is_tri, ~backface,
+                      is_sph & (dot(rd, sph_n) < 0.0))
     return Hit(valid=valid, t=t, position=pos, normal=normal, uv=uv,
-               mat_id=mat.astype(jnp.int32))
+               mat_id=mat.astype(jnp.int32), front_face=front)

@@ -55,6 +55,29 @@ def lerp(a, b, t):
     return a + (b - a) * t
 
 
+def refract(d: jax.Array, n: jax.Array, eta) -> jax.Array:
+    """glm::refract semantics for a unit incident d and unit normal n
+    facing AGAINST d (dot(d, n) < 0): Snell refraction with relative
+    index eta = n_incident / n_transmitted. Returns the zero vector on
+    total internal reflection (k < 0), like glm."""
+    cos_i = -dot_keep(d, n)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    # sqrt evaluated at a safe argument on TIR lanes: sqrt'(0) = inf
+    # would leak NaN cotangents through the where (selected-away
+    # branches still get differentiated)
+    k_safe = jnp.where(tir, 1.0, jnp.maximum(k, 0.0))
+    out = eta * d + (eta * cos_i - jnp.sqrt(k_safe)) * n
+    return jnp.where(tir, 0.0, out)
+
+
+def schlick_fresnel(cos_i, ior_a, ior_b):
+    """Schlick's reflectance approximation for a dielectric interface
+    from index ior_a into ior_b at incidence cosine cos_i (>= 0)."""
+    r0 = ((ior_a - ior_b) / (ior_a + ior_b)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+
+
 # ---------------------------------------------------------------------------
 # Intersections
 # ---------------------------------------------------------------------------

@@ -48,12 +48,14 @@ class MaterialDef:
     """Host material record (reference Material, Scene.h:74-85)."""
 
     def __init__(self, albedo=(0, 0, 0), emissive=(0, 0, 0), specular=(0, 0, 0),
-                 roughness=0.9, specular_percent=0.0, ior=1.0, texture=-1):
+                 roughness=0.9, specular_percent=0.0, ior=1.0, texture=-1,
+                 refraction_percent=0.0):
         self.albedo = tuple(map(float, albedo))
         self.emissive = tuple(map(float, emissive))
         self.specular = tuple(map(float, specular))
         self.roughness = float(roughness)
         self.specular_percent = float(specular_percent)
+        self.refraction_percent = float(refraction_percent)
         self.ior = float(ior)
         self.texture = int(texture)
 
@@ -159,6 +161,7 @@ class SceneBuilder:
                 specular=_fill((cm, 3), [m.specular for m in self._materials], 0.0),
                 roughness=_fill((cm,), [m.roughness for m in self._materials], 0.9),
                 specular_percent=_fill((cm,), [m.specular_percent for m in self._materials], 0.0),
+                refraction_percent=_fill((cm,), [m.refraction_percent for m in self._materials], 0.0),
                 ior=_fill((cm,), [m.ior for m in self._materials], 1.0),
                 texture=_fill((cm,), [m.texture for m in self._materials], -1,
                               np.int32),

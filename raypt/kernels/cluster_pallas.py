@@ -22,6 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math3d import BIG
+from .vma_util import pvary_to, vma_of
 
 TILE = 256
 BIG_I = 2 ** 30
@@ -113,6 +114,9 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
     o_t = ro.T.reshape(3, r)
     d_t = rd.T.reshape(3, r)
     cap = worklist.shape[1]
+    vma = vma_of(worklist, counts, ro, rd, t0)
+    worklist, counts, o_t, d_t, t0, tri_rows_cm = pvary_to(
+        vma, worklist, counts, o_t, d_t, t0, tri_rows_cm)
 
     t_out, f_out = pl.pallas_call(
         _kernel,
@@ -137,8 +141,8 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, r), jnp.float32),
-            jax.ShapeDtypeStruct((1, r), jnp.int32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, r), jnp.int32, vma=vma),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -146,6 +150,99 @@ def pallas_cluster_intersect(worklist, counts, tri_rows_cm, ro, rd, t0,
     )(worklist, counts.reshape(n_tiles, 1), o_t, d_t,
       t0.reshape(1, r), tri_rows_cm)
     return t_out[0], f_out[0]
+
+def _kernel_grouped(worklist_ref, counts_ref, o_ref, d_ref, t0_ref,
+                    rows_ref, t_ref, f_ref, *, group: int):
+    """Worklist variant testing `group` clusters per fori_loop
+    iteration: the per-entry scalar bookkeeping (loop control + index
+    read) amortizes over `group` independent load+test chains that the
+    compiler can pipeline against each other. Worklist must be padded
+    (width a multiple of group) with the DUMMY cluster id C whose row
+    block is all zeros (det==0 -> no hits), so no masking is needed."""
+    row = pl.program_id(0) % 8
+    cnt = counts_ref[row, 0]
+    o = o_ref[:]                          # (3, TILE)
+    d = d_ref[:]                          # (3, TILE)
+
+    def body(w, carry):
+        tb, fb = carry
+        for g in range(group):
+            cid = worklist_ref[row, w * group + g]
+            tb, fb = _test_cluster(rows_ref[cid], o, d, tb, fb)
+        return tb, fb
+
+    t_init = t0_ref[:]
+    f_init = jnp.full(t_init.shape, -1, jnp.int32)
+    n_it = (cnt + group - 1) // group
+    tb, fb = jax.lax.fori_loop(0, n_it, body, (t_init, f_init))
+    t_ref[:] = tb
+    f_ref[:] = fb
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile", "group"))
+def pallas_cluster_intersect_grouped(worklist, counts, tri_rows_cm, ro, rd,
+                                     t0, interpret: bool = False,
+                                     tile: int = TILE, group: int = 4):
+    """Same contract as pallas_cluster_intersect, but tests `group`
+    worklist entries per loop iteration (see _kernel_grouped). -1 pad
+    entries are remapped to a dummy all-zero cluster appended to the
+    triangle table."""
+    r = ro.shape[0]
+    n_tiles = worklist.shape[0]
+    assert r == n_tiles * tile
+    assert n_tiles % 8 == 0, "pad ray count to 8*tile multiples"
+
+    c = tri_rows_cm.shape[0]
+    rows = jnp.concatenate(
+        [tri_rows_cm, jnp.zeros((1,) + tri_rows_cm.shape[1:],
+                                tri_rows_cm.dtype)], axis=0)
+    wl = jnp.where(worklist < 0, c, worklist)
+    cap = wl.shape[1]
+    padw = (-cap) % group
+    if padw:
+        wl = jnp.concatenate(
+            [wl, jnp.full((n_tiles, padw), c, jnp.int32)], axis=1)
+        cap += padw
+
+    o_t = ro.T.reshape(3, r)
+    d_t = rd.T.reshape(3, r)
+    vma = vma_of(wl, counts, ro, rd, t0)
+    wl, counts, o_t, d_t, t0, rows = pvary_to(
+        vma, wl, counts, o_t, d_t, t0, rows)
+
+    t_out, f_out = pl.pallas_call(
+        partial(_kernel_grouped, group=group),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, cap), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full tri table
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, r), jnp.int32, vma=vma),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wl, counts.reshape(n_tiles, 1), o_t, d_t,
+      t0.reshape(1, r), rows)
+    return t_out[0], f_out[0]
+
 
 # de Bruijn count-trailing-zeros: DBJ_TABLE[((lsb * DBJ) >>> 27) & 31]
 # = bit index of the isolated low bit lsb (uint32 wrap == int32 wrap)
@@ -204,10 +301,22 @@ def pallas_cluster_intersect_mask(union, tri_rows_cm, ro, rd, t0,
     n_tiles, cw = union.shape
     assert r == n_tiles * tile
     assert n_tiles % 8 == 0, "pad ray count to 8*tile multiples"
+    # guard the bit scan against stray bits >= c_total in the last
+    # union word: the kernel indexes rows_ref[w*32 + k] for EVERY set
+    # bit, so a padded/buggy mask producer would read out-of-bounds
+    # triangle rows (ADVICE r3 low). c_total = rows table height.
+    c_total = tri_rows_cm.shape[0]
+    tail = c_total - (cw - 1) * 32            # valid bits in last word
+    if 0 < tail < 32:
+        last = union[:, cw - 1] & jnp.int32((1 << tail) - 1)
+        union = jnp.concatenate([union[:, :cw - 1], last[:, None]], axis=1)
 
     o_t = ro.T.reshape(3, r)
     d_t = rd.T.reshape(3, r)
     dbj = jnp.asarray(_DBJ_TABLE, jnp.int32).reshape(1, 32)
+    vma = vma_of(union, ro, rd, t0)
+    union, o_t, d_t, t0, dbj, tri_rows_cm = pvary_to(
+        vma, union, o_t, d_t, t0, dbj, tri_rows_cm)
 
     t_out, f_out = pl.pallas_call(
         partial(_kernel_mask, cw=cw),
@@ -232,8 +341,8 @@ def pallas_cluster_intersect_mask(union, tri_rows_cm, ro, rd, t0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, r), jnp.float32),
-            jax.ShapeDtypeStruct((1, r), jnp.int32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, r), jnp.int32, vma=vma),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma_util import pvary_to, vma_of
+
 RAY_TILE = 1024
 LO = 256          # radix: node = hi * LO + lo
 ROW = 16
@@ -161,6 +163,11 @@ def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
     o_t = ro.T.reshape(3, r)
     d_t = rd.T.reshape(3, r)
     iv_t = inv.T.reshape(3, r)
+    t0_r = t0.reshape(1, r)
+    act_r = active.astype(jnp.int32).reshape(1, r)
+    vma = vma_of(ro, rd, t0, active)
+    o_t, d_t, iv_t, t0_r, act_r, tab_radix = pvary_to(
+        vma, o_t, d_t, iv_t, t0_r, act_r, tab_radix)
     mask = pl.pallas_call(
         kernel,
         grid=grid,
@@ -180,10 +187,10 @@ def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
         ],
         out_specs=pl.BlockSpec((num_words, ray_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_words, r), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((num_words, r), jnp.int32,
+                                       vma=vma),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(o_t, d_t, iv_t, t0.reshape(1, r),
-      active.astype(jnp.int32).reshape(1, r), tab_radix)
+    )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
     return mask.T

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.math3d import BIG, dot, normalize
+from ..core.math3d import BIG, GLM_EPS, dot, normalize
 from ..core.types import Scene
 from ..accel.traverse import Hit, HitIds
 
@@ -38,7 +38,8 @@ SHADE_ROW = 32
 @struct.dataclass
 class ShadeTables:
     rows: jax.Array      # (F, 32) per-face shade rows
-    mats: jax.Array      # (M, 12) [albedo, emissive, specular, rough, spec%, pad]
+    mats: jax.Array      # (M, 16) [albedo, emissive, specular, rough,
+                         #          spec%, texture, refr%, ior, pad, pad]
     sph: jax.Array       # (S, 8)  [center, radius, mat, pad, pad, pad]
 
 
@@ -71,7 +72,9 @@ def build_shade_tables(scene: Scene) -> ShadeTables:
     mats = jnp.concatenate([
         mt.albedo, mt.emissive, mt.specular,
         mt.roughness[:, None], mt.specular_percent[:, None],
-        mt.texture.astype(jnp.float32)[:, None]], axis=-1)  # (M, 12)
+        mt.texture.astype(jnp.float32)[:, None],
+        mt.refraction_percent[:, None], mt.ior[:, None],
+        jnp.zeros((mt.capacity, 2), jnp.float32)], axis=-1)  # (M, 16)
 
     sp = scene.spheres
     sph = jnp.concatenate([
@@ -94,7 +97,7 @@ def _one_hot_fetch(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
     """Differentiable hit attributes + material properties with one
-    shade-row gather per ray. Returns (Hit, matprops (..., 12))."""
+    shade-row gather per ray. Returns (Hit, matprops (..., 16))."""
     eps = 1e-8
     is_tri = ids.tri >= 0
     is_sph = ids.sphere >= 0
@@ -127,13 +130,17 @@ def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
         center = s[..., 0:3]
         radius = s[..., 3]
         sph_mat = s[..., 4]
-        # sphere t recompute (differentiable, glm semantics)
+        # sphere t recompute (differentiable, glm semantics INCLUDING
+        # the far root when the ray starts inside — the finder's
+        # intersect_sphere returns it, so the near-root-only form here
+        # misplaced every interior hit; critical for refraction)
         oc = ro - center
         bq = jnp.sum(oc * rd, axis=-1)
         cq = jnp.sum(oc * oc, axis=-1) - radius * radius
         disc = bq * bq - cq
         pos_disc = disc > 0.0
-        st = -bq - jnp.sqrt(jnp.where(pos_disc, disc, 1.0))
+        half = jnp.sqrt(jnp.where(pos_disc, jnp.maximum(disc, 1e-12), 1.0))
+        st = jnp.where(-bq > half + GLM_EPS, -bq - half, -bq + half)
     else:   # static shape: sphere-free scene, skip the recompute
         center = ro * 0.0
         radius = tt * 0.0
@@ -149,10 +156,12 @@ def recompute_hit_packed(tables: ShadeTables, ro, rd, ids: HitIds):
     mat_f = jnp.where(is_tri, tri_mat, jnp.where(is_sph, sph_mat, 0.0))
     mat_id = jnp.round(mat_f).astype(jnp.int32)
     valid = is_tri | is_sph
+    front = jnp.where(is_tri, ~backface,
+                      is_sph & (dot(rd, sph_n) < 0.0))
 
-    matprops = _one_hot_fetch(tables.mats, mat_id)       # (..., 12)
+    matprops = _one_hot_fetch(tables.mats, mat_id)       # (..., 16)
     hit = Hit(valid=valid, t=t, position=pos, normal=normal, uv=uv,
-              mat_id=mat_id)
+              mat_id=mat_id, front_face=front)
     return hit, matprops
 
 

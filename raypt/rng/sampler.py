@@ -86,6 +86,17 @@ def bounce_uniforms(skey: jax.Array, bounce, pixel_ids: jax.Array) -> jax.Array:
                                pixel_ids, 4)
 
 
+def refraction_uniform(skey: jax.Array, bounce,
+                       pixel_ids: jax.Array) -> jax.Array:
+    """One extra U[0,1) per pixel per bounce: the dielectric
+    fresnel reflect/transmit pick (cfg.enable_refraction only). Drawn
+    from a separately-folded key so the base 4-draw bounce stream —
+    and therefore every reference-parity render — is unchanged."""
+    return _per_pixel_uniforms(
+        jax.random.fold_in(jax.random.fold_in(skey, 0x5EF7AC7), bounce),
+        pixel_ids, 1)[..., 0]
+
+
 def random_point_on_sphere(u_z: jax.Array, u_a: jax.Array) -> jax.Array:
     """Uniform point on the unit sphere from two uniforms, exactly the
     reference's z/angle construction (Random.h:26-31):

@@ -119,6 +119,27 @@ for size in SIZES:
         print(f"[{size}] intersect vs jnp oracle: "
               f"parity={'OK' if ok_b else 'FAIL'}", flush=True)
         fails += not ok_b
+    else:
+        # ADVICE r3: at the large size both kernels share _test_cluster,
+        # so cross-parity alone would miss a bug in the extracted
+        # intersection math — anchor an independent-jnp-oracle check on
+        # a random subset of tiles (bounded work, no watchdog risk).
+        n_tiles = r // TILE
+        import numpy as _np
+        sub = jnp.asarray(_np.random.default_rng(7).choice(
+            n_tiles, size=min(16, n_tiles), replace=False).astype(_np.int32))
+        ray_rows = (sub[:, None] * TILE
+                    + jnp.arange(TILE, dtype=jnp.int32)[None, :]).reshape(-1)
+        t_sub, f_sub = intersect_worklist_jnp(
+            clusters, wl[sub], cnt[sub], ro[ray_rows], rd[ray_rows],
+            t0[ray_rows], tile=TILE)
+        ok_s = (bool(jnp.array_equal(f_hw[ray_rows], f_sub))
+                and bool(jnp.allclose(t_hw[ray_rows], t_sub,
+                                      rtol=1e-5, atol=1e-5)))
+        print(f"[{size}] intersect vs jnp oracle "
+              f"({int(sub.shape[0])} sampled tiles): "
+              f"parity={'OK' if ok_s else 'FAIL'}", flush=True)
+        fails += not ok_s
 
 print("GATE " + ("PASS" if fails == 0 else f"FAIL ({fails})"), flush=True)
 sys.exit(1 if fails else 0)

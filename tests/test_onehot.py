@@ -199,3 +199,34 @@ def test_onehot_backend_renders(rng):
     ia = render_frame(scene, cfg_o, jax.random.key(0))
     ib = render_frame(scene, cfg_b, jax.random.key(0))
     assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
+
+
+def test_grouped_intersect_matches_worklist(rng):
+    """pallas_cluster_intersect_grouped (G entries per loop iteration,
+    dummy-cluster padding) must agree exactly with the per-entry
+    worklist kernel for every G, including G that doesn't divide the
+    count."""
+    from raypt.accel.clusters import worklists_from_masks
+    from raypt.kernels.cluster_pallas import (
+        TILE, pallas_cluster_intersect, pallas_cluster_intersect_grouped)
+    scene = _scene(rng, ntri=300, nsph=0)
+    bvh = build(scene.mesh.positions, scene.mesh.faces,
+                scene.mesh.face_valid)
+    clusters, table = build_onehot(bvh, scene.mesh.positions,
+                                   scene.mesh.faces, scene.mesh.face_valid,
+                                   leaf=16)
+    ro, rd = _rays(rng, 8 * TILE)
+    t0 = jnp.full((8 * TILE,), BIG)
+    num_words = -(-clusters.num_clusters // 32)
+    mask = walk_topwalk_jnp(table, ro, rd, t0,
+                            jnp.ones((8 * TILE,), bool), num_words)
+    wl, cnt, _ = worklists_from_masks(mask, TILE, 64,
+                                      clusters.num_clusters)
+    rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+    t_a, f_a = pallas_cluster_intersect(wl, cnt, rows_cm, ro, rd, t0,
+                                        interpret=True)
+    for g in (2, 3, 4):
+        t_g, f_g = pallas_cluster_intersect_grouped(
+            wl, cnt, rows_cm, ro, rd, t0, interpret=True, group=g)
+        assert np.array_equal(np.asarray(f_a), np.asarray(f_g)), g
+        assert np.allclose(np.asarray(t_a), np.asarray(t_g)), g

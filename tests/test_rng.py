@@ -8,6 +8,10 @@ from raypt.rng import (bounce_uniforms, frame_key, random_point_on_sphere,
                        sample_jitter, sample_key)
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def test_sphere_points_are_unit_and_uniform():
     key = jax.random.key(7)
     u = jax.random.uniform(key, (20000, 2))
