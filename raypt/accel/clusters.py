@@ -118,6 +118,48 @@ def build_clusters(bvh: LBVH, positions: jax.Array, faces: jax.Array,
                     tri_rows=tri_rows[:c_cap], valid=cvalid[:c_cap])
 
 
+def build_woop_cm(clusters: Clusters):
+    """Woop affine transforms for the MXU phase-B kernel
+    (kernels.cluster_pallas.pallas_cluster_intersect_mask_woop).
+
+    Per triangle (p0, e1, e2): W = [e1 e2 n]^-1 with n = e1 x e2 maps
+    world points to unit-triangle coords, so with the affine pair
+    A = W, b = -W p0 the whole ray test collapses to ONE matmul per
+    cluster: out = woop (4, 3L)^T-contracted with [o;1]/[d;0] (4, T),
+    then t = -o'w/d'w, u = o'u + t d'u, v = o'v + t d'v — ~2.5x fewer
+    VPU ops per pair than Moller-Trumbore, with the contraction on the
+    MXU (Woop et al. 2013 unit-triangle formulation; public technique).
+
+    Returns (woop_cm (C, 4, 3L) f32, fid_flat (C*L,) i32):
+      woop_cm[c, k, r*L + j] = k-th affine coefficient (A[r,0..2], b[r])
+      of row r (u/v/w) of triangle j; degenerate/padded triangles are
+      encoded to always miss (A = 0, b_w = 1 -> t = -1/0 = -inf).
+      fid_flat[c*L + j] = global face id (for the post-kernel gather).
+    """
+    rows = clusters.tri_rows                     # (C, L, 12)
+    c, leaf, _ = rows.shape
+    p0 = rows[..., 0:3]
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
+    n = jnp.cross(e1, e2)
+    m = jnp.stack([e1, e2, n], axis=-1)          # (C, L, 3, 3) columns
+    det = jnp.linalg.det(m)
+    ok = jnp.abs(det) > 1e-18
+    safe_m = jnp.where(ok[..., None, None], m,
+                       jnp.broadcast_to(jnp.eye(3), m.shape))
+    w = jnp.linalg.inv(safe_m)                   # (C, L, 3, 3) rows u,v,w
+    b = -jnp.einsum("clij,clj->cli", w, p0)      # (C, L, 3)
+    a4 = jnp.concatenate([w, b[..., None]], axis=-1)   # (C, L, 3, 4)
+    # miss encoding for degenerate rows: A = 0, b = (0, 0, 1)
+    miss = jnp.zeros((3, 4)).at[2, 3].set(1.0)
+    a4 = jnp.where(ok[..., None, None], a4, miss)
+    # (C, L, 3, 4) -> (C, 4, 3, L) -> (C, 4, 3L): lane r*L+j = row r tri j
+    woop_cm = jnp.transpose(a4, (0, 3, 2, 1)).reshape(c, 4, 3 * leaf)
+    fid_flat = jax.lax.bitcast_convert_type(rows[..., 9],
+                                            jnp.int32).reshape(c * leaf)
+    return woop_cm.astype(jnp.float32), fid_flat
+
+
 def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,
                    t0: jax.Array, tile: int,
                    cap: int = WORKLIST_CAP):

@@ -228,13 +228,22 @@ def encode_topwalk_table(tree: ClusterTree) -> jax.Array:
 
 
 def build_onehot(bvh: LBVH, positions: jax.Array, faces: jax.Array,
-                 face_valid: jax.Array, leaf: int = 64):
+                 face_valid: jax.Array, leaf: int = 64,
+                 with_woop: bool = False):
     """Build the full one-hot finder accel: (Clusters, encoded top-tree
-    table). Consumed by accel.traverse.find_closest_onehot."""
-    from .clusters import build_clusters
+    table). Consumed by accel.traverse.find_closest_onehot.
+
+    with_woop=True appends (woop_cm, fid_flat) — the Woop affine table
+    for the MXU phase-B kernel (clusters.build_woop_cm) — giving a
+    4-tuple; find_closest_onehot accepts either arity."""
+    from .clusters import build_clusters, build_woop_cm
     clusters = build_clusters(bvh, positions, faces, face_valid, leaf=leaf)
     tree = build_cluster_tree(bvh, leaf=leaf)
-    return clusters, encode_topwalk_table(tree)
+    table = encode_topwalk_table(tree)
+    if with_woop:
+        woop_cm, fid_flat = build_woop_cm(clusters)
+        return clusters, table, woop_cm, fid_flat
+    return clusters, table
 
 
 def walk_topwalk_jnp(table: jax.Array, ro: jax.Array, rd: jax.Array,

@@ -507,10 +507,12 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                            intersect_worklist_jnp, tile_union_counts,
                            worklist_slice)
     from .ctree import walk_topwalk_jnp
-    from ..kernels.cluster_pallas import (TILE,
-                                          pallas_cluster_intersect_mask)
+    from ..kernels.cluster_pallas import (
+        TILE, pallas_cluster_intersect_mask,
+        pallas_cluster_intersect_mask_woop)
     from ..kernels.onehot_walk import RAY_TILE, pallas_topwalk
-    clusters, table = accel
+    clusters, table = accel[0], accel[1]
+    woop = accel[2:4] if len(accel) >= 4 else None
     cap = cap or WORKLIST_CAP
     tile_b = tile_b or TILE
     scene, ro, rd = jax.lax.stop_gradient((scene, ro, rd))
@@ -582,7 +584,18 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
 
     union, counts = tile_union_counts(mask, tile_b, c_total)
     seed = jnp.where(flat_a, flat_t, -BIG)
-    if use_pallas_intersect:
+    if use_pallas_intersect and woop is not None:
+        # Woop-MXU phase B (flagship when the accel carries the woop
+        # table): one f32 contraction per wanted cluster on the MXU +
+        # a short VPU epilogue; face id resolved by ONE R-scale gather
+        woop_cm, fid_flat = woop
+        t_best, packed = pallas_cluster_intersect_mask_woop(
+            union, woop_cm, flat_o, flat_d, seed,
+            interpret=not _tpu_backend(), tile=tile_b)
+        face = jnp.where(packed >= 0,
+                         fid_flat[jnp.clip(packed, 0, None)], -1)
+        overflow_fallback = False
+    elif use_pallas_intersect:
         # mask-driven kernel: consumes the union bitmask directly (de
         # Bruijn bit scan in SMEM) — no worklist compaction, no
         # capacity limit, hence no overflow machinery on this path

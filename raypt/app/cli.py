@@ -33,6 +33,12 @@ def _build_scene(name: str, size, obj: str | None):
         b = triangle_ground()
     elif name == "textured":
         b = textured_demo()
+    elif name == "config4":
+        # BASELINE configs[3]: multi-mesh glTF + textures + HDR env
+        # (render with --bounces 8; refraction is enabled by cmd_render
+        # when the scene carries a refractive material)
+        from ..scenes.config4 import config4_scene
+        b = config4_scene()
     elif name == "obj":
         if not obj:
             raise SystemExit("--obj PATH required for --scene obj")
@@ -85,13 +91,23 @@ def cmd_render(args):
     size = (args.size, args.size) if isinstance(args.size, int) else args.size
     b = _build_scene(args.scene, size, args.obj)
     scene = b.freeze()
+    # turn the dielectric lobe on iff the scene carries a refractive
+    # material (static cfg flag; zero-cost and bitwise-noop otherwise)
+    refr = bool(float(scene.materials.refraction_percent.max()) > 0.0)
     cfg = RenderConfig(width=size[0], height=size[1],
                        samples_per_pixel=args.spp, num_bounces=args.bounces,
-                       backend=args.backend)
+                       backend=args.backend, enable_refraction=refr)
     bvh = None
     if cfg.backend in ("bvh", "auto", "pallas"):
         bvh = build(scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
+    elif cfg.backend == "onehot":
+        from ..accel.ctree import build_onehot
+        the_bvh = build(scene.mesh.positions, scene.mesh.faces,
+                        scene.mesh.face_valid)
+        bvh = build_onehot(the_bvh, scene.mesh.positions,
+                           scene.mesh.faces, scene.mesh.face_valid,
+                           leaf=128, with_woop=True)
 
     key = jax.random.key(args.seed)
     acc, start_frame = None, 0
@@ -184,7 +200,7 @@ def main(argv=None):
     pr = sub.add_parser("render", help="progressive render to PNG")
     pr.add_argument("--scene", default="cornell_bunny",
                     choices=["cornell", "bunny", "cornell_bunny", "triangle",
-                             "textured", "obj"])
+                             "textured", "config4", "obj"])
     pr.add_argument("--obj", default=None, help="OBJ path for --scene obj")
     pr.add_argument("--size", type=int, default=512)
     pr.add_argument("--spp", type=int, default=5)

@@ -32,9 +32,10 @@ jax.config.update("jax_compilation_cache_dir",
 from raypt.accel.host_bvh import build_sah
 from raypt.accel.lbvh import build as lbvh_build
 from raypt.accel.ctree import build_onehot
+from raypt.accel.clusters import build_woop_cm
 from raypt.kernels.cluster_pallas import (
     TILE, pallas_cluster_intersect, pallas_cluster_intersect_grouped,
-    pallas_cluster_intersect_mask)
+    pallas_cluster_intersect_mask, pallas_cluster_intersect_mask_woop)
 from raypt.scenes import stanford_bunny
 
 LEAF = int(os.environ.get("PROFILE_LEAF", 128))
@@ -73,7 +74,8 @@ rd = jnp.asarray(d)
 t0 = jnp.full((R,), 1e30, jnp.float32)
 
 rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
-jax.block_until_ready(rows_cm)
+woop_cm, fid_flat = build_woop_cm(clusters)
+jax.block_until_ready((rows_cm, woop_cm))
 
 # per-tile distinct random cluster ids (same id set across k prefixes)
 perm = np.argsort(rng.random((n_tiles, C)), axis=1).astype(np.int32)
@@ -95,16 +97,31 @@ def bench(fn, *args, **kw):
 results = {"leaf": LEAF, "rays": R, "tiles": n_tiles, "clusters": C,
            "tile": TILE, "cap": CAP, "variants": {}}
 
+
+# baseline glue cost: the wrapper-side XLA ops (ray transposes etc.)
+# are per-CALL, not per-tile — time them separately so the k-sweep
+# intercept can be attributed correctly
+@jax.jit
+def _glue(ro, rd, t0):
+    return (ro.T.reshape(3, -1) * 2.0).sum() + (rd.T.reshape(3, -1)
+                                                * 2.0).sum() + t0.sum()
+
+
+dt_g, _ = bench(_glue, ro, rd, t0)
+print(f"glue (2 ray transposes + reduce): {dt_g*1e3:.1f}ms", flush=True)
+results["glue_transpose_ms"] = dt_g * 1e3
+
 for k in KS:
     wl_np = np.full((n_tiles, CAP), -1, np.int32)
     wl_np[:, :k] = np.sort(perm[:, :k], axis=1)
     wl = jnp.asarray(wl_np)
     cnt = jnp.full((n_tiles,), k, jnp.int32)
     union_np = np.zeros((n_tiles, cw), np.int32)
-    rows_i = np.repeat(np.arange(n_tiles), k)
-    ids = perm[:, :k].reshape(-1)
-    np.bitwise_or.at(union_np, (rows_i, ids >> 5),
-                     (np.int32(1) << (ids & 31)).astype(np.int32))
+    if k:
+        rows_i = np.repeat(np.arange(n_tiles), k)
+        ids = perm[:, :k].reshape(-1)
+        np.bitwise_or.at(union_np, (rows_i, ids >> 5),
+                         (np.int32(1) << (ids & 31)).astype(np.int32))
     union = jnp.asarray(union_np)
     jax.block_until_ready((wl, cnt, union))
 
@@ -112,13 +129,15 @@ for k in KS:
                       t0, interpret=interp)
     dt_m, c_m = bench(pallas_cluster_intersect_mask, union, rows_cm, ro,
                       rd, t0, interpret=interp)
-    line = {"worklist": dt_w, "mask": dt_m}
+    dt_woop, _ = bench(pallas_cluster_intersect_mask_woop, union, woop_cm,
+                       ro, rd, t0, interpret=interp)
+    line = {"worklist": dt_w, "mask": dt_m, "woop": dt_woop}
     for g in GROUPS:
         dt_g, _ = bench(pallas_cluster_intersect_grouped, wl, cnt,
                         rows_cm, ro, rd, t0, interpret=interp, group=g)
         line[f"grouped{g}"] = dt_g
     results["variants"][k] = line
-    entries = k * n_tiles
+    entries = max(k * n_tiles, 1)
     print(f"k={k:3d} ({entries/1e3:7.0f}k entries): " + "  ".join(
         f"{name} {dt*1e3:7.1f}ms ({dt/entries*1e9:6.0f} ns/entry)"
         for name, dt in line.items()), flush=True)

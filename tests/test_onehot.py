@@ -230,3 +230,63 @@ def test_grouped_intersect_matches_worklist(rng):
             wl, cnt, rows_cm, ro, rd, t0, interpret=True, group=g)
         assert np.array_equal(np.asarray(f_a), np.asarray(f_g)), g
         assert np.allclose(np.asarray(t_a), np.asarray(t_g)), g
+
+
+def test_woop_mask_kernel_matches_mt(rng):
+    """pallas_cluster_intersect_mask_woop (Woop affine + MXU) must
+    agree with the Moller-Trumbore mask kernel: same t to fp tolerance,
+    same face wherever the winning t is not a near-tie."""
+    from raypt.accel.clusters import build_woop_cm, tile_union_counts
+    from raypt.kernels.cluster_pallas import (
+        TILE, pallas_cluster_intersect_mask,
+        pallas_cluster_intersect_mask_woop)
+    scene = _scene(rng, ntri=300, nsph=0)
+    bvh = build(scene.mesh.positions, scene.mesh.faces,
+                scene.mesh.face_valid)
+    clusters, table = build_onehot(bvh, scene.mesh.positions,
+                                   scene.mesh.faces, scene.mesh.face_valid,
+                                   leaf=16)
+    ro, rd = _rays(rng, 8 * TILE)
+    t0 = jnp.full((8 * TILE,), BIG)
+    num_words = -(-clusters.num_clusters // 32)
+    mask = walk_topwalk_jnp(table, ro, rd, t0,
+                            jnp.ones((8 * TILE,), bool), num_words)
+    union, _ = tile_union_counts(mask, TILE, clusters.num_clusters)
+    rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+    woop_cm, fid_flat = build_woop_cm(clusters)
+    t_a, f_a = pallas_cluster_intersect_mask(union, rows_cm, ro, rd, t0,
+                                             interpret=True)
+    t_w, p_w = pallas_cluster_intersect_mask_woop(union, woop_cm, ro, rd,
+                                                  t0, interpret=True)
+    f_w = np.where(np.asarray(p_w) >= 0,
+                   np.asarray(fid_flat)[np.clip(np.asarray(p_w), 0, None)],
+                   -1)
+    t_a = np.asarray(t_a)
+    t_w = np.asarray(t_w)
+    hit_a = np.asarray(f_a) >= 0
+    assert np.array_equal(hit_a, f_w >= 0)
+    assert np.allclose(t_a[hit_a], t_w[hit_a], rtol=1e-3, atol=1e-4), \
+        float(np.abs(t_a[hit_a] - t_w[hit_a]).max())
+    same = np.asarray(f_a) == f_w
+    # differing faces are allowed only on near-tie t
+    assert (same | np.isclose(t_a, t_w, rtol=1e-3, atol=1e-4)).all()
+
+
+def test_onehot_finder_woop_accel_matches_bruteforce(rng):
+    """find_closest_onehot with the 4-tuple (woop-table) accel routes
+    phase B through the MXU kernel and still matches brute force."""
+    scene = _scene(rng, ntri=300, nsph=3)
+    bvh = build(scene.mesh.positions, scene.mesh.faces,
+                scene.mesh.face_valid)
+    accel = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
+                         scene.mesh.face_valid, leaf=16, with_woop=True)
+    assert len(accel) == 4
+    ro, rd = _rays(rng, 1000)
+    a = find_closest_bruteforce(scene, ro, rd)
+    c = find_closest_onehot(scene, accel, ro, rd)
+    assert np.allclose(np.asarray(a.t), np.asarray(c.t),
+                       rtol=1e-3, atol=1e-4)
+    assert np.array_equal(np.asarray(a.sphere), np.asarray(c.sphere))
+    same = np.asarray(a.tri) == np.asarray(c.tri)
+    assert (same | np.isclose(np.asarray(a.t), np.asarray(c.t),
+                              rtol=1e-4)).all()
