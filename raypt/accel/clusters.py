@@ -136,28 +136,37 @@ def build_woop_cm(clusters: Clusters):
       encoded to always miss (A = 0, b_w = 1 -> t = -1/0 = -inf).
       fid_flat[c*L + j] = global face id (for the post-kernel gather).
     """
+    import numpy as np
     rows = clusters.tri_rows                     # (C, L, 12)
     c, leaf, _ = rows.shape
-    p0 = rows[..., 0:3]
-    e1 = rows[..., 3:6]
-    e2 = rows[..., 6:9]
-    n = jnp.cross(e1, e2)
-    m = jnp.stack([e1, e2, n], axis=-1)          # (C, L, 3, 3) columns
-    det = jnp.linalg.det(m)
-    ok = jnp.abs(det) > 1e-18
-    safe_m = jnp.where(ok[..., None, None], m,
-                       jnp.broadcast_to(jnp.eye(3), m.shape))
-    w = jnp.linalg.inv(safe_m)                   # (C, L, 3, 3) rows u,v,w
-    b = -jnp.einsum("clij,clj->cli", w, p0)      # (C, L, 3)
-    a4 = jnp.concatenate([w, b[..., None]], axis=-1)   # (C, L, 3, 4)
+    rows_np = np.asarray(jax.lax.stop_gradient(rows), np.float64)
+    p0 = rows_np[..., 0:3]
+    e1 = rows_np[..., 3:6]
+    e2 = rows_np[..., 6:9]
+    # UNIT normal: with n = e1 x e2 unnormalized, det(m) ~ area^2 and
+    # the f32 inverse of sliver triangles carries O(1) relative error
+    # in t (measured max |dt| = 8.7 on the bunny, round 4); a unit
+    # third column keeps the conditioning ~1/edge and the f64 host
+    # inversion makes the downcast to f32 the only rounding step.
+    n = np.cross(e1, e2)
+    nl = np.linalg.norm(n, axis=-1, keepdims=True)
+    ok = nl[..., 0] > 1e-20
+    n = n / np.where(nl > 1e-20, nl, 1.0)
+    m = np.stack([e1, e2, n], axis=-1)           # (C, L, 3, 3) columns
+    safe_m = np.where(ok[..., None, None], m,
+                      np.broadcast_to(np.eye(3), m.shape))
+    w = np.linalg.inv(safe_m)                    # (C, L, 3, 3) rows u,v,w
+    b = -np.einsum("clij,clj->cli", w, p0)       # (C, L, 3)
+    a4 = np.concatenate([w, b[..., None]], axis=-1)    # (C, L, 3, 4)
     # miss encoding for degenerate rows: A = 0, b = (0, 0, 1)
-    miss = jnp.zeros((3, 4)).at[2, 3].set(1.0)
-    a4 = jnp.where(ok[..., None, None], a4, miss)
+    miss = np.zeros((3, 4))
+    miss[2, 3] = 1.0
+    a4 = np.where(ok[..., None, None], a4, miss)
     # (C, L, 3, 4) -> (C, 4, 3, L) -> (C, 4, 3L): lane r*L+j = row r tri j
-    woop_cm = jnp.transpose(a4, (0, 3, 2, 1)).reshape(c, 4, 3 * leaf)
+    woop_cm = np.transpose(a4, (0, 3, 2, 1)).reshape(c, 4, 3 * leaf)
     fid_flat = jax.lax.bitcast_convert_type(rows[..., 9],
                                             jnp.int32).reshape(c * leaf)
-    return woop_cm.astype(jnp.float32), fid_flat
+    return jnp.asarray(woop_cm, jnp.float32), fid_flat
 
 
 def tile_worklists(clusters: Clusters, ro: jax.Array, rd: jax.Array,

@@ -563,7 +563,21 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
 
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
-    if use_pallas_walk:
+    fused_union = (use_pallas_walk and use_pallas_intersect
+                   and mode == "none" and woop is None
+                   and RAY_TILE % tile_b == 0)
+    if fused_union:
+        # fused path: the walk kernel OR-reduces per-ray masks to
+        # per-tile unions in registers — the (R, cw) mask never hits
+        # HBM and the XLA tree reduce disappears (~25 ms/bounce,
+        # scripts/tpu_phase_decomp.py r4)
+        from ..kernels.onehot_walk import pallas_topwalk_union
+        union = pallas_topwalk_union(table, flat_o, flat_d, flat_t,
+                                     flat_a, num_words,
+                                     interpret=not _tpu_backend(),
+                                     union_tile=tile_b)
+        mask = None
+    elif use_pallas_walk:
         mask = pallas_topwalk(table, flat_o, flat_d, flat_t, flat_a,
                               num_words, interpret=not _tpu_backend())
     else:
@@ -582,12 +596,18 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
             (mask[order2], flat_o[order2], flat_d[order2],
              flat_t[order2], flat_a[order2]))
 
-    union, counts = tile_union_counts(mask, tile_b, c_total)
+    if not fused_union:
+        union, counts = tile_union_counts(mask, tile_b, c_total)
     seed = jnp.where(flat_a, flat_t, -BIG)
     if use_pallas_intersect and woop is not None:
-        # Woop-MXU phase B (flagship when the accel carries the woop
-        # table): one f32 contraction per wanted cluster on the MXU +
-        # a short VPU epilogue; face id resolved by ONE R-scale gather
+        # Woop-MXU phase B — OPT-IN via a 4-tuple accel
+        # (build_onehot(with_woop=True)). MEASURED NET LOSS on v5e
+        # (scripts/tpu_woop_ab.py, r4): 578 vs 981 ns/entry isolated,
+        # but e2e fwd 1077 ms vs 664 ms — the MXU's exact-f32 path is
+        # 6 bf16 passes and a K=4 contraction is pass-latency-bound
+        # (1-pass bf16 is 953 ms AND numerically wrong: u/v/t need
+        # f32). Kept for table-driven experiments; MT kernel is the
+        # flagship. Face id resolved by ONE R-scale gather.
         woop_cm, fid_flat = woop
         t_best, packed = pallas_cluster_intersect_mask_woop(
             union, woop_cm, flat_o, flat_d, seed,

@@ -107,7 +107,7 @@ def cmd_render(args):
                         scene.mesh.face_valid)
         bvh = build_onehot(the_bvh, scene.mesh.positions,
                            scene.mesh.faces, scene.mesh.face_valid,
-                           leaf=128, with_woop=True)
+                           leaf=128)
 
     key = jax.random.key(args.seed)
     acc, start_frame = None, 0

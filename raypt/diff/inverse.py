@@ -44,7 +44,8 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
                   loss_fn: Callable = l2_image_loss,
                   refit: bool = True,
                   render_fn: Callable = None,
-                  param_reg: Callable = None):
+                  param_reg: Callable = None,
+                  param_map: Callable = None):
     """Build a jitted optimization step over K target views.
 
     step(params, opt_state, views(K-stacked), targets (K,H,W,3), key)
@@ -57,6 +58,12 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
 
     param_reg: optional `params -> scalar` prior added to the loss
     (e.g. a mesh-Laplacian smoothness penalty on vertex_offsets).
+    param_map: optional `params -> params` reparameterization applied
+    inside the loss (so gradients flow through it) — e.g. the
+    Laplacian-smoothing preconditioner of priors.make_vertex_preconditioner
+    (Nicolet et al. 2021 'large steps'). The stored params then live in
+    u-space; realize the final scene with apply_params(scene,
+    param_map(params)).
     """
     trainable = tuple(trainable)
     render_fn = render_fn or _render
@@ -65,6 +72,8 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, optimizer,
     def step_fn(params: SceneParams, opt_state, views: CameraRays,
                 targets: jax.Array, key: jax.Array):
         def loss_over_views(p):
+            if param_map is not None:
+                p = param_map(p)
             s = apply_params(scene, p)
             the_bvh = bvh
             if the_bvh is not None and refit:
@@ -142,7 +151,8 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
                           loss_fn: Callable = l2_image_loss,
                           refit: bool = True,
                           render_fn: Callable = None,
-                          param_reg: Callable = None):
+                          param_reg: Callable = None,
+                          param_map: Callable = None):
     """View-sharded fit step (BASELINE config #5: 16 target views,
     gradient descent sharded over the pod slice).
 
@@ -177,6 +187,8 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
                  out_specs=(P(), P()))
         def shard_loss_grad(p, views_l, targets_l):
             def local_loss(p):
+                if param_map is not None:
+                    p = param_map(p)
                 s = apply_params(scene, p)
                 the_bvh = bvh
                 if the_bvh is not None and refit:

@@ -11,6 +11,7 @@ uniform Laplacian used here as a penalty).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -50,3 +51,41 @@ def make_laplacian_reg(faces, face_valid, num_vertices: int,
         return weight * jnp.sum(lap * lap) / n_active
 
     return reg
+
+
+def make_vertex_preconditioner(faces, face_valid, num_vertices: int,
+                               k: int = 10, alpha: float = 0.7,
+                               field: str = "vertex_offsets"):
+    """Laplacian-preconditioned per-vertex parameterization ("Large
+    Steps in Inverse Rendering of Geometry", Nicolet et al. 2021): the
+    optimizer's variable u is mapped to vertex offsets through k Jacobi
+    diffusion steps x <- (1-alpha) x + alpha * neighbor_mean(x) — a
+    polynomial approximation of the (I + lambda L)^-1 solve the paper
+    performs with sparse Cholesky. Gradients flow through the smoothing
+    (the transpose spreads each pixel's sparse vertex gradient over a
+    k-ring), so plain Adam on u takes the paper's "large steps" while
+    the realized offsets stay per-vertex (full resolution, unlike the
+    frequency-limited displacement lattice).
+
+    Returns `params -> params` for make_fit_step(param_map=...); the
+    stored params then live in u-space — realize the final offsets by
+    applying the returned map once."""
+    f = np.asarray(faces)
+    v = np.asarray(face_valid)
+    edges, deg = mesh_edges(f[v.astype(bool)], num_vertices)
+    e0 = jnp.asarray(edges[:, 0])
+    e1 = jnp.asarray(edges[:, 1])
+    degree = jnp.asarray(np.maximum(deg, 1), jnp.float32)[:, None]
+    has_nbrs = jnp.asarray(deg > 0)[:, None]
+
+    def smooth(x):
+        def body(_, x):
+            nb = jnp.zeros_like(x).at[e0].add(x[e1]).at[e1].add(x[e0])
+            return jnp.where(has_nbrs,
+                             (1.0 - alpha) * x + alpha * nb / degree, x)
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def pmap(params):
+        return params.replace(**{field: smooth(getattr(params, field))})
+
+    return pmap

@@ -441,10 +441,15 @@ def _kernel_mask_woop(summary_ref, union_ref, oh_ref, dh_ref, t0_ref,
                     k = dbj_ref[0, jax.lax.shift_right_logical(
                         lsb * DBJ, 27) & 31]
                     cid = w * 32 + k
+                    # precision=HIGHEST: the MXU's default f32 path is
+                    # a single bf16 pass (8-bit mantissa) — u/v/t then
+                    # carry O(1e-2) error and hits go wrong (measured:
+                    # image diff 50 on TPU while CPU matched exactly)
                     out = jax.lax.dot_general(
                         woop_ref[cid], rays,
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (3L, 2T)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)   # (3L, 2T)
                     ou, du = out[0:leaf, :tile], out[0:leaf, tile:]
                     ov, dv = out[leaf:2 * leaf, :tile], out[leaf:2 * leaf,
                                                             tile:]

@@ -60,7 +60,7 @@ def prep_radix_table_t(table: jax.Array, lo: int = LO) -> jax.Array:
 
 def _kernel(o_ref, d_ref, iv_ref, t0_ref, act_ref, tab_ref, mask_ref,
             *, lo_size: int, hi_blocks: int, cw: int, max_iters: int,
-            unroll: int):
+            unroll: int, union_tile: int = 0):
     o = o_ref[:]                       # (3, R_T) f32
     iv = iv_ref[:]                     # (3, R_T) f32
     t0 = t0_ref[:]                     # (1, R_T) f32
@@ -128,7 +128,26 @@ def _kernel(o_ref, d_ref, iv_ref, t0_ref, act_ref, tab_ref, mask_ref,
 
     _, mask, _ = jax.lax.while_loop(
         cond, body, (node0, mask0, jnp.int32(0)))
-    mask_ref[:] = mask
+    if union_tile == 0:
+        mask_ref[:] = mask
+    else:
+        # fused union emission: OR-reduce each contiguous union_tile
+        # lane block to one column — the per-ray mask never leaves the
+        # kernel (kills the (R, cw) HBM materialization + transpose +
+        # XLA tree reduce, ~25 ms/bounce in the r4 phase decomposition).
+        # The output block is padded to 128 lanes (Mosaic requires
+        # 128-divisible minor blocks); the wrapper strips the padding.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cw, 128), 1)
+        out = jnp.zeros((cw, 128), jnp.int32)
+        for g in range(r_t // union_tile):
+            blk = mask[:, g * union_tile:(g + 1) * union_tile]
+            w = union_tile
+            while w > 1:
+                h = w // 2
+                blk = blk[:, :h] | blk[:, h:w]
+                w = h
+            out = jnp.where(lane == g, blk, out)
+        mask_ref[:] = out
 
 
 @partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
@@ -194,3 +213,75 @@ def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
         interpret=interpret,
     )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
     return mask.T
+
+@partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
+                                   "ray_tile", "unroll", "lo_size",
+                                   "union_tile"))
+def pallas_topwalk_union(table: jax.Array, ro: jax.Array, rd: jax.Array,
+                         t0: jax.Array, active: jax.Array, num_words: int,
+                         interpret: bool = False, max_steps: int = 16384,
+                         ray_tile: int = RAY_TILE, unroll: int = 4,
+                         lo_size: int = LO,
+                         union_tile: int = 256) -> jax.Array:
+    """pallas_topwalk with FUSED per-tile union emission: instead of the
+    (R, num_words) per-ray mask, returns (R // union_tile, num_words)
+    OR-unions over contiguous union_tile-ray blocks — the direct input
+    of the mask intersect kernel. The per-ray mask is reduced in
+    registers before leaving the kernel, eliminating its HBM round trip
+    + transpose + the XLA tree reduce (~25 ms/bounce measured,
+    scripts/tpu_phase_decomp.py r4)."""
+    r = ro.shape[0]
+    nt = table.shape[0]
+    assert r % ray_tile == 0, r
+    assert ray_tile % union_tile == 0
+    tiles_pp = ray_tile // union_tile
+    n_tiles = r // union_tile
+    grid = (r // ray_tile,)
+    tab_radix = prep_radix_table_t(table, lo_size)
+    hi_blocks = tab_radix.shape[0] // ROW
+
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    iters = -(-min(max_steps, nt + 1) // unroll)
+    kernel = partial(_kernel, lo_size=lo_size, hi_blocks=hi_blocks,
+                     cw=num_words, max_iters=iters, unroll=unroll,
+                     union_tile=union_tile)
+    o_t = ro.T.reshape(3, r)
+    d_t = rd.T.reshape(3, r)
+    iv_t = inv.T.reshape(3, r)
+    t0_r = t0.reshape(1, r)
+    act_r = active.astype(jnp.int32).reshape(1, r)
+    vma = vma_of(ro, rd, t0, active)
+    o_t, d_t, iv_t, t0_r, act_r, tab_radix = pvary_to(
+        vma, o_t, d_t, iv_t, t0_r, act_r, tab_radix)
+    union_cm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hi_blocks * ROW, lo_size), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_words, 128), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_words, 128 * grid[0]),
+                                       jnp.int32, vma=vma),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
+    # strip per-program lane padding: (cw, P*128) -> (cw, P, 128) ->
+    # keep the first tiles_pp lanes of each program
+    union_cm = union_cm.reshape(num_words, grid[0], 128)[:, :, :tiles_pp]
+    return union_cm.reshape(num_words, n_tiles).T

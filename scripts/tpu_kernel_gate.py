@@ -78,6 +78,18 @@ for size in SIZES:
           f"parity={'OK' if ok_a else 'FAIL'}", flush=True)
     fails += not ok_a
 
+    # --- phase A': fused-union walk (r4) vs mask-walk + XLA reduce ---
+    from raypt.accel.clusters import tile_union_counts as _tuc
+    from raypt.kernels.onehot_walk import pallas_topwalk_union
+    u_hw = pallas_topwalk_union(table, ro, rd, t0, act, num_words,
+                                union_tile=256)
+    jax.block_until_ready(u_hw)
+    u_ref, _ = _tuc(mask_ref, 256, clusters.num_clusters)
+    ok_u = bool(jnp.array_equal(u_hw, u_ref))
+    print(f"[{size}] fused-union walk: parity={'OK' if ok_u else 'FAIL'}",
+          flush=True)
+    fails += not ok_u
+
     # --- phase B: worklist kernel and mask kernel, cross-checked ---
     # The jnp oracle scans every worklist slot (O(cap) dense work per
     # tile); at 1024^2 that is watchdog-scale, so it anchors parity at

@@ -103,3 +103,49 @@ def test_param_reg_hook_changes_updates():
     assert float(l2) > float(l1)          # loss includes the prior
     assert not np.allclose(np.asarray(p1.vertex_offsets),
                            np.asarray(p2.vertex_offsets))
+
+
+def test_vertex_preconditioner_constant_and_spread():
+    """The Jacobi-diffusion preconditioner (Nicolet 2021 approximation)
+    must (a) preserve constant fields exactly and (b) spread a
+    single-vertex cotangent over the neighborhood in u-space."""
+    import jax
+    import jax.numpy as jnp
+    from raypt.diff.params import SceneParams
+    from raypt.diff.priors import make_vertex_preconditioner
+    from raypt.core.scene import MaterialDef, SceneBuilder
+
+    b = SceneBuilder()
+    m0 = b.add_material(MaterialDef(albedo=(0.5, 0.5, 0.5)))
+    # small grid mesh
+    import numpy as np
+    n = 5
+    xs = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(xs, xs)
+    P = np.stack([X, Y, np.zeros_like(X)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [(a, a + 1, a + n), (a + 1, a + n + 1, a + n)]
+    b.add_mesh(P, np.tile([0, 0, 1.0], (len(P), 1)), np.asarray(faces),
+               material=m0)
+    scene = b.freeze(pad=False)
+
+    pmap = make_vertex_preconditioner(scene.mesh.faces,
+                                      scene.mesh.face_valid,
+                                      scene.mesh.num_vertices, k=6)
+    params = SceneParams.init(scene)
+    const = params.replace(
+        vertex_offsets=jnp.ones_like(params.vertex_offsets) * 0.3)
+    out = pmap(const)
+    assert np.allclose(np.asarray(out.vertex_offsets), 0.3, atol=1e-6)
+
+    def loss(p):
+        # touches only vertex 12 of the REALIZED offsets
+        return pmap(p).vertex_offsets[12, 2]
+
+    g = jax.grad(loss)(params).vertex_offsets[:, 2]
+    g = np.asarray(g)
+    assert (np.abs(g) > 1e-6).sum() > 8, "cotangent did not spread"
+    assert abs(g.sum() - 1.0) < 1e-5   # diffusion is mass-preserving
