@@ -465,7 +465,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         cap: int = 0,
                         overflow_fallback: bool = True,
                         sort_rays="none",
-                        tile_b: int = 0) -> HitIds:
+                        tile_b: int = 0,
+                        segment_sort: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -536,6 +537,26 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     mode = {False: "none", True: "mask"}.get(sort_rays, sort_rays)
     do_sort = mode != "none" and flat_o.shape[0] > tile_b
     inv = None
+    if segment_sort and not do_sort and \
+            flat_o.shape[0] % segment_sort == 0:
+        # SEGMENTED stable alive-partition (r4): compact live rays to
+        # the front WITHIN each segment_sort-ray group. Unlike the
+        # global compactions (all measured losses — they scatter rays
+        # from the whole frame into each tile, exploding the per-tile
+        # cluster unions), a local partition preserves the pixel-block
+        # spatial order, so dead tiles/walk-programs empty out on deep
+        # bounces while unions stay tight.
+        g = segment_sort
+        r_all = flat_o.shape[0]
+        n_seg = r_all // g
+        key = (~flat_a).astype(jnp.int32).reshape(n_seg, g)
+        order_l = jnp.argsort(key, axis=1, stable=True)
+        base = (jnp.arange(n_seg, dtype=order_l.dtype) * g)[:, None]
+        order = (order_l + base).reshape(-1)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(r_all, dtype=order.dtype))
+        flat_o, flat_d, flat_t, flat_a = jax.lax.optimization_barrier(
+            (flat_o[order], flat_d[order], flat_t[order], flat_a[order]))
     if do_sort:
         # pre-walk alive compaction (stable): phase A's per-tile
         # while_loop runs to the MAX lane trip count, so grouping dead
