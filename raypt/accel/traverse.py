@@ -466,7 +466,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         overflow_fallback: bool = True,
                         sort_rays="none",
                         tile_b: int = 0,
-                        segment_sort: int = 0) -> HitIds:
+                        segment_sort: int = 0,
+                        walk_tile: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -596,7 +597,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         union = pallas_topwalk_union(table, flat_o, flat_d, flat_t,
                                      flat_a, num_words,
                                      interpret=not _tpu_backend(),
-                                     union_tile=tile_b)
+                                     union_tile=tile_b,
+                                     ray_tile=walk_tile or RAY_TILE)
         mask = None
     elif use_pallas_walk:
         mask = pallas_topwalk(table, flat_o, flat_d, flat_t, flat_a,

@@ -138,3 +138,28 @@ for i, (ro_n, rd_n, al_n) in enumerate(waves):
         return hit.position + nd
 
     timeit("shade+brdf", jax.jit(shade), ro, rd, face, t_b)
+
+
+# ---- per-ray popcount vs per-tile union: quantifies the divergence
+# waste factor phase B pays (every ray in a tile tests the tile UNION)
+print("\nper-ray popcount vs tile union (waste factor):", flush=True)
+for i, (ro_n, rd_n, al_n) in enumerate(waves):
+    ro = jnp.asarray(ro_n)
+    rd = jnp.asarray(rd_n)
+    al = jnp.asarray(al_n)
+    ts_seed, _ = jax.jit(lambda o, d: _closest_sphere(scene, o, d))(ro, rd)
+    seed = jnp.where(al, ts_seed, -BIG)
+    mask = pallas_topwalk(table, ro, rd, seed, al, nw)
+    pop = jnp.sum(jnp.unpackbits(mask.view(jnp.uint8), axis=-1)
+                  .astype(jnp.int32), axis=-1)          # (R,)
+    union, counts = tile_union_counts(mask, TILE, c_total)
+    alive_pop = jnp.where(al, pop, 0)
+    n_alive = jnp.maximum(jnp.sum(al), 1)
+    per_ray = float(jnp.sum(alive_pop) / n_alive)
+    per_tile = float(jnp.mean(counts))
+    # total work actually paid vs per-ray-exact lower bound
+    paid = float(jnp.sum(counts)) * TILE
+    exact = float(jnp.sum(alive_pop))
+    print(f"  bounce {i}: per-ray mean {per_ray:.1f}, tile union mean "
+          f"{per_tile:.1f}, waste = paid/exact = {paid/max(exact,1):.1f}x",
+          flush=True)
