@@ -498,6 +498,18 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     32x32-pixel block layout's spatial locality is the best phase-B
     grouping we found.
 
+    tile_b: phase-B ray-tile width (default kernels.cluster_pallas.TILE
+    = 256; 128/512 measured wash/loss on v5e). walk_tile: phase-A rays
+    per walk program (default kernels.onehot_walk.RAY_TILE = 1024;
+    512/256 measured losses e2e). segment_sort > 0 stable-partitions
+    live rays to the front WITHIN that group size before the walk —
+    locality-preserving compaction, MEASURED A LOSS on v5e (772 vs
+    655 ms fwd at 2048; kept for experiments, default off).
+
+    When no ray sorting is requested and both Pallas kernels are in
+    use, the walk runs in FUSED-UNION form (pallas_topwalk_union): the
+    per-ray mask is OR-reduced to per-tile unions inside the kernel.
+
     overflow_fallback handles tiles whose union exceeds `cap` with
     additional BOUNDED phase-B rounds over worklist slices
     [r*cap, (r+1)*cap) — each behind a lax.cond that only fires if any

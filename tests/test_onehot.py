@@ -290,3 +290,28 @@ def test_onehot_finder_woop_accel_matches_bruteforce(rng):
     same = np.asarray(a.tri) == np.asarray(c.tri)
     assert (same | np.isclose(np.asarray(a.t), np.asarray(c.t),
                               rtol=1e-4)).all()
+
+
+def test_topwalk_union_matches_mask_reduce(rng):
+    """pallas_topwalk_union (fused in-kernel OR-reduction, r4) must
+    equal tile_union_counts(pallas_topwalk(...)) exactly, including
+    with dead rays and at both supported union tiles."""
+    from raypt.accel.clusters import tile_union_counts
+    from raypt.kernels.onehot_walk import (pallas_topwalk,
+                                           pallas_topwalk_union)
+    scene = _scene(rng, ntri=300, nsph=0)
+    bvh = build(scene.mesh.positions, scene.mesh.faces,
+                scene.mesh.face_valid)
+    clusters, table = build_onehot(bvh, scene.mesh.positions,
+                                   scene.mesh.faces, scene.mesh.face_valid,
+                                   leaf=16)
+    nw = -(-clusters.num_clusters // 32)
+    ro, rd = _rays(rng, 2048)
+    t0 = jnp.full((2048,), BIG)
+    act = jnp.asarray(rng.random(2048) < 0.6)
+    mask = pallas_topwalk(table, ro, rd, t0, act, nw, interpret=True)
+    for ut in (256, 128):
+        u_ref, _ = tile_union_counts(mask, ut, clusters.num_clusters)
+        u_fused = pallas_topwalk_union(table, ro, rd, t0, act, nw,
+                                       interpret=True, union_tile=ut)
+        assert np.array_equal(np.asarray(u_ref), np.asarray(u_fused)), ut
