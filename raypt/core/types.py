@@ -255,6 +255,11 @@ class RenderConfig:
                                 # (missed children are never gathered);
                                 # with leaf_tris=1 the table stays
                                 # 16-wide (VMEM-resident at bunny scale)
+    pixel_block: int = 32       # spatial pixel-block size for the ray
+                                # stream layout (render_sample block-major
+                                # order): a phase-B tile (256 rays) is a
+                                # (block/?)-shaped patch; 16 makes each
+                                # tile one square 16x16 patch
     ray_sort: bool = False      # stable-compact each wavefront (alive
                                 # first) before tiled traversal so dead
                                 # tiles exit immediately; only useful in

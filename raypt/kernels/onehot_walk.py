@@ -234,6 +234,9 @@ def pallas_topwalk_union(table: jax.Array, ro: jax.Array, rd: jax.Array,
     nt = table.shape[0]
     assert r % ray_tile == 0, r
     assert ray_tile % union_tile == 0
+    assert union_tile > 0 and (union_tile & (union_tile - 1)) == 0, \
+        f"union_tile must be a power of two (halving OR-fold), got " \
+        f"{union_tile}"
     tiles_pp = ray_tile // union_tile
     n_tiles = r // union_tile
     grid = (r // ray_tile,)

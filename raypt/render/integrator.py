@@ -372,7 +372,8 @@ def render_sample(scene: Scene, cfg: RenderConfig, skey: jax.Array,
     per-bounce traced-segment counts (see trace_paths)."""
     unshuffle = None
     if pixel_ids is None:
-        pixel_ids, unshuffle = _block_order(pixel_id_grid(cfg))
+        pixel_ids, unshuffle = _block_order(pixel_id_grid(cfg),
+                                            block=cfg.pixel_block)
     jitter = sample_jitter(skey, pixel_ids)
     ro, rd = camera_rays_for_ids(scene, cfg, pixel_ids, jitter)
     out = trace_paths(scene, cfg, skey, ro, rd, finder, pixel_ids,
