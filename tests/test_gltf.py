@@ -259,3 +259,29 @@ def test_scene_builder_roundtrip(tmp_path):
                material=mat)
     scene = b.freeze()
     assert int(np.sum(np.asarray(scene.mesh.face_valid))) == 1
+
+
+def test_config4_glb_authoring_roundtrip():
+    """The config-#4 multi-mesh GLB (scenes/config4.py) must round-trip
+    through the glTF loader: 4 materials, per-face material groups for
+    all of them, accessor-sharing sphere instances, world transforms
+    applied."""
+    import numpy as np
+    from raypt.scenes.config4 import author_config4_glb
+    glb = author_config4_glb()
+    m = load_gltf(glb)
+    assert len(m["materials"]) == 4
+    names = {mm["name"] for mm in m["materials"]}
+    assert names == {"bunny_marble", "chrome", "glass", "ground_checker"}
+    fm = np.asarray(m["face_materials"])
+    assert set(np.unique(fm)) == {0, 1, 2, 3}
+    # the two sphere instances share accessors but carry different
+    # materials and node transforms: same face count, disjoint ids,
+    # different world-space centroids
+    pos = np.asarray(m["positions"])
+    f = np.asarray(m["faces"])
+    c1 = pos[np.unique(f[fm == 1])].mean(0)
+    c2 = pos[np.unique(f[fm == 2])].mean(0)
+    assert (fm == 1).sum() == (fm == 2).sum()
+    assert np.linalg.norm(c1 - c2) > 1.0
+    assert m["uvs"].shape[0] == pos.shape[0]
