@@ -1,6 +1,12 @@
 """A/B: segmented (locality-preserving) alive-compaction before the
 flagship walk, on the full bench fwd render (r4; global compactions
-all measured losses — this keeps pixel-block order within groups)."""
+all measured losses — this keeps pixel-block order within groups).
+
+Result: segment_sort=2048 measured 772 ms vs 655 ms baseline — a LOSS.
+NOTE: the 8192/32768 rows of the original run printed ~0.0 ms; those
+were UNMEASURED, not fast — block_until_ready through the TPU relay
+does not wait for some program shapes (see tpu_permute_probe2.py /
+STATUS r4); only the 0 and 2048 rows are valid."""
 import os
 import time
 
