@@ -5,12 +5,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
 
-Ray accounting: value counts *path segments* traced per second through
-the fwd+bwd step — H*W*spp rays per sample pass, each scanned over
-`bounces` segments (the reference's upper-bound accounting, SURVEY §6
-"implied per-frame ray work"), doubled for the backward pass. The
-actually-traced segment rate is lower (rays die to misses/roulette);
-extra.segments_upper_bound records the accounting basis explicitly.
+Ray accounting (round 5, VERDICT r4 weak #2): `value` is the
+ACTUALLY-TRACED segment rate — segments where the ray was alive at the
+start of the bounce, measured in-program, doubled for the backward
+pass. The reference-style upper bound (H*W*spp*bounces*2, SURVEY §6
+"implied per-frame ray work") rides in extra.upper_bound_mrays with
+its own vs-baseline ratio; both baselines are pinned in the same
+accounting as the number they normalize.
 
 Crash-proofing (round-2 VERDICT item 2): the requested backend runs in
 a SUBPROCESS — a TPU kernel fault poisons the whole client, so an
@@ -49,6 +50,12 @@ BASELINE_LEGACY_EMPTY_FRAME_MRAYS = 13.5
 # v5e, 1024^2 x 4 bounces fwd+bwd, MEASURED 2026-08-20 (step 7.29 s).
 # vs_baseline reports against this.
 BASELINE_FRAMED_MRAYS = 1.15
+# The same pin restated in ACTUALLY-TRACED accounting (round-5: the
+# headline `value` is now the traced-segment rate, VERDICT r4 weak #2):
+# both backends trace the identical wavefront (same RNG/scene), so the
+# traced segments per step are the measured 3,498,210 of BENCH_r04 and
+# the bvh pin's traced rate is 3.498210 / 7.29 = 0.48 Mray-seg/s.
+BASELINE_FRAMED_TRACED_MRAYS = 0.48
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1024))
@@ -157,14 +164,17 @@ def run_child(backend: str) -> dict:
     segments = WIDTH * HEIGHT * SPP * BOUNCES * 2
     mrays = segments / dt / 1e6
     # actually-traced segments (rays alive at each bounce; x2 bwd) —
-    # the honest rate alongside the upper-bound accounting
+    # since round 5 this is the HEADLINE `value` (VERDICT r4 weak #2);
+    # the upper-bound accounting rides in extra.upper_bound_mrays.
     traced_counts = [int(x) for x in out[1]]
     traced_segments = 2 * sum(traced_counts)
+    traced_mrays = traced_segments / dt / 1e6
     return {
-        "metric": "bunny_1024_fwd_bwd",
-        "value": round(mrays, 3),
+        "metric": "bunny_1024_fwd_bwd_traced",
+        "value": round(traced_mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_FRAMED_MRAYS, 3),
+        "vs_baseline": round(traced_mrays / BASELINE_FRAMED_TRACED_MRAYS,
+                             3),
         "extra": {
             "backend": backend,
             "device": str(jax.devices()[0]),
@@ -176,10 +186,14 @@ def run_child(backend: str) -> dict:
             "first_step_seconds": round(first_step_s, 1),
             "segments_upper_bound": segments,
             "segments_traced": traced_segments,
-            "traced_mrays": round(traced_segments / dt / 1e6, 3),
+            "upper_bound_mrays": round(mrays, 3),
+            "upper_bound_vs_baseline": round(mrays / BASELINE_FRAMED_MRAYS,
+                                             3),
             "traced_per_bounce": traced_counts,
-            "accounting": "H*W*spp*bounces upper-bound segments, x2 bwd",
+            "accounting": "value = actually-traced segments/s, x2 bwd; "
+                          "upper_bound_mrays = H*W*spp*bounces basis",
             "workload": "framed stanford bunny (~33% px), env + ground",
+            "baseline_framed_traced": BASELINE_FRAMED_TRACED_MRAYS,
             "baseline_framed": BASELINE_FRAMED_MRAYS,
             "baseline_legacy_empty_frame":
                 BASELINE_LEGACY_EMPTY_FRAME_MRAYS,
@@ -228,7 +242,7 @@ def main():
 
     if result is None:
         # last resort: still emit a parseable line (never `parsed: null`)
-        result = {"metric": "bunny_1024_fwd_bwd", "value": 0.0,
+        result = {"metric": "bunny_1024_fwd_bwd_traced", "value": 0.0,
                   "unit": "Mrays/s", "vs_baseline": 0.0,
                   "extra": {"error": err, "backend": BACKEND,
                             "fallback_backend": FALLBACK_BACKEND}}

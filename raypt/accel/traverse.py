@@ -599,7 +599,7 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     num_words = -(-c_total // 32)
     fused_union = (use_pallas_walk and use_pallas_intersect
                    and mode == "none" and woop is None
-                   and RAY_TILE % tile_b == 0)
+                   and (walk_tile or RAY_TILE) % tile_b == 0)
     if fused_union:
         # fused path: the walk kernel OR-reduces per-ray masks to
         # per-tile unions in registers — the (R, cw) mask never hits

@@ -265,6 +265,16 @@ class RenderConfig:
                                 # tiles exit immediately; only useful in
                                 # "tiled" mode on sparse wavefronts
                                 # ("compact" mode compacts internally)
+    onehot_leaf: int = 128      # triangles per cluster for backend
+                                # "onehot" when the accel is built
+                                # implicitly (make_finder /
+                                # render_frame_sharded): 128 measured
+                                # best on the bench workload (667 ms fwd
+                                # vs 675 at 64, 963 at 256 —
+                                # scripts/tpu_onehot_bisect.py); ADVICE
+                                # r4: the sharded renderer silently
+                                # built leaf=64 while the flagship entry
+                                # points used 128
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

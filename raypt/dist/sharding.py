@@ -105,7 +105,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, key: jax.Array,
             lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
                            scene.mesh.face_valid)
         bvh = build_onehot(the_bvh, scene.mesh.positions,
-                           scene.mesh.faces, scene.mesh.face_valid)
+                           scene.mesh.faces, scene.mesh.face_valid,
+                           leaf=cfg.onehot_leaf)
     n = mesh.devices.size
     ids = pixel_id_grid(cfg)
     pad = _pad_rows(cfg.height, n)

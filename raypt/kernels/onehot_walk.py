@@ -237,6 +237,9 @@ def pallas_topwalk_union(table: jax.Array, ro: jax.Array, rd: jax.Array,
     assert union_tile > 0 and (union_tile & (union_tile - 1)) == 0, \
         f"union_tile must be a power of two (halving OR-fold), got " \
         f"{union_tile}"
+    assert ray_tile // union_tile <= 128, \
+        f"union output is padded to 128 lanes per program; " \
+        f"ray_tile/union_tile = {ray_tile // union_tile} tiles don't fit"
     tiles_pp = ray_tile // union_tile
     n_tiles = r // union_tile
     grid = (r // ray_tile,)

@@ -83,7 +83,8 @@ def make_finder(scene: Scene, cfg: RenderConfig,
                 lbvh_mod.build(scene.mesh.positions, scene.mesh.faces,
                                scene.mesh.face_valid)
             accel = build_onehot(the_bvh, scene.mesh.positions,
-                                 scene.mesh.faces, scene.mesh.face_valid)
+                                 scene.mesh.faces, scene.mesh.face_valid,
+                                 leaf=cfg.onehot_leaf)
         return partial(_onehot_finder, accel)
     if backend == "cluster":
         from ..accel.clusters import Clusters, build_clusters

@@ -201,6 +201,7 @@ def test_onehot_backend_renders(rng):
     assert np.allclose(np.asarray(ia), np.asarray(ib), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.experimental
 def test_grouped_intersect_matches_worklist(rng):
     """pallas_cluster_intersect_grouped (G entries per loop iteration,
     dummy-cluster padding) must agree exactly with the per-entry
@@ -232,6 +233,7 @@ def test_grouped_intersect_matches_worklist(rng):
         assert np.allclose(np.asarray(t_a), np.asarray(t_g)), g
 
 
+@pytest.mark.experimental
 def test_woop_mask_kernel_matches_mt(rng):
     """pallas_cluster_intersect_mask_woop (Woop affine + MXU) must
     agree with the Moller-Trumbore mask kernel: same t to fp tolerance,
@@ -272,6 +274,7 @@ def test_woop_mask_kernel_matches_mt(rng):
     assert (same | np.isclose(t_a, t_w, rtol=1e-3, atol=1e-4)).all()
 
 
+@pytest.mark.experimental
 def test_onehot_finder_woop_accel_matches_bruteforce(rng):
     """find_closest_onehot with the 4-tuple (woop-table) accel routes
     phase B through the MXU kernel and still matches brute force."""
