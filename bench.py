@@ -70,6 +70,9 @@ CHILD_TIMEOUT = float(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
 # traversal-layout overrides for backend="bvh"
 LEAF_TRIS = int(os.environ.get("BENCH_LEAF_TRIS", 1))
 LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
+# backend "onehot": rays/program for the per-ray-exact phase-B
+# expansion kernel (0 = dense per-tile union kernel)
+EXPAND_N = int(os.environ.get("BENCH_EXPAND_N", 0))
 
 
 def run_child(backend: str) -> dict:
@@ -102,7 +105,8 @@ def run_child(backend: str) -> dict:
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples_per_pixel=SPP,
                        num_bounces=BOUNCES, backend=backend,
                        russian_roulette=True,
-                       leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD)
+                       leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD,
+                       onehot_expand=EXPAND_N)
     bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
     if bvh is None:
         bvh = build(scene.mesh.positions, scene.mesh.faces,

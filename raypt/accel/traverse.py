@@ -467,7 +467,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         sort_rays="none",
                         tile_b: int = 0,
                         segment_sort: int = 0,
-                        walk_tile: int = 0) -> HitIds:
+                        walk_tile: int = 0,
+                        expand_n: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -510,6 +511,19 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     use, the walk runs in FUSED-UNION form (pallas_topwalk_union): the
     per-ray mask is OR-reduced to per-tile unions inside the kernel.
 
+    expand_n > 0 routes phase B through the PER-RAY-EXACT expansion
+    kernel (kernels/cluster_expand.py, round 5): the walk emits the
+    full per-ray mask and the intersect kernel regroups lanes by
+    cluster in-kernel (rank -> one-hot-permute compact -> dense test ->
+    scatter), so each cluster is tested only against the rays that want
+    it instead of its whole 256-ray tile — killing the 56-158x
+    union-vs-popcount waste on incoherent bounces
+    (scripts/tpu_phase_decomp.py). expand_n is the rays-per-program
+    granularity (2048 measured best; larger programs share more
+    distinct clusters but pay more per selection matmul). Results are
+    bitwise equal to the mask path. Requires no ray sorting and the
+    default (non-Woop) accel.
+
     overflow_fallback handles tiles whose union exceeds `cap` with
     additional BOUNDED phase-B rounds over worklist slices
     [r*cap, (r+1)*cap) — each behind a lax.cond that only fires if any
@@ -539,6 +553,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
               else active.reshape(-1))
     n = flat_o.shape[0]
     chunk = max(8 * tile_b, RAY_TILE)
+    if expand_n:
+        chunk = max(chunk, 8 * expand_n, walk_tile or RAY_TILE)
     pad = (-n) % chunk
     if pad:
         flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
@@ -597,6 +613,34 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
 
     c_total = clusters.num_clusters
     num_words = -(-c_total // 32)
+    if (expand_n and use_pallas_walk and use_pallas_intersect
+            and mode == "none" and woop is None and not segment_sort):
+        # PER-RAY-EXACT path (round 5): walk emits the full per-ray
+        # mask in kernel-native (cw, R) layout (padded to 8-row pages);
+        # the expansion kernel regroups lanes per cluster and tests
+        # each cluster only against its interested rays.
+        from ..kernels.cluster_expand import pallas_cluster_expand
+        from ..kernels.onehot_walk import pallas_topwalk_cm
+        assert scene.mesh.faces.shape[0] < (1 << 24), \
+            "expand path encodes face ids as 3 bf16 base-256 digits"
+        cwp = -(-num_words // 8) * 8
+        mask_cm = pallas_topwalk_cm(table, flat_o, flat_d, flat_t,
+                                    flat_a, cwp,
+                                    interpret=not _tpu_backend(),
+                                    ray_tile=walk_tile or RAY_TILE)
+        seed = jnp.where(flat_a, flat_t, -BIG)
+        rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
+        t_best, face = pallas_cluster_expand(
+            mask_cm, rows_cm, flat_o, flat_d, seed,
+            interpret=not _tpu_backend(), n_rays=expand_n)
+        t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
+        face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
+        tri_wins = face >= 0
+        return HitIds(
+            t=t_best,
+            tri=jnp.where(tri_wins, face, -1),
+            sphere=jnp.where(~tri_wins & (ts < BIG), si, -1),
+        )
     fused_union = (use_pallas_walk and use_pallas_intersect
                    and mode == "none" and woop is None
                    and (walk_tile or RAY_TILE) % tile_b == 0)

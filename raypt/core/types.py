@@ -265,6 +265,13 @@ class RenderConfig:
                                 # tiles exit immediately; only useful in
                                 # "tiled" mode on sparse wavefronts
                                 # ("compact" mode compacts internally)
+    onehot_expand: int = 0      # backend "onehot": rays per program for
+                                # the PER-RAY-EXACT phase-B expansion
+                                # kernel (kernels/cluster_expand.py,
+                                # round 5) — each cluster is tested only
+                                # against the rays that want it, via
+                                # in-kernel one-hot lane regrouping.
+                                # 0 = dense per-tile union kernel.
     onehot_leaf: int = 128      # triangles per cluster for backend
                                 # "onehot" when the accel is built
                                 # implicitly (make_finder /

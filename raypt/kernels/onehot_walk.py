@@ -165,6 +165,25 @@ def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
     int32 wanted-cluster bitmask. max_steps bounds the in-kernel walk
     (a skip-link walk terminates in <= Nt steps; the default is a
     safety net, not a tuning knob)."""
+    return pallas_topwalk_cm(table, ro, rd, t0, active, num_words,
+                             interpret=interpret, max_steps=max_steps,
+                             ray_tile=ray_tile, unroll=unroll,
+                             lo_size=lo_size).T
+
+
+@partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
+                                   "ray_tile", "unroll", "lo_size"))
+def pallas_topwalk_cm(table: jax.Array, ro: jax.Array, rd: jax.Array,
+                      t0: jax.Array, active: jax.Array, num_words: int,
+                      interpret: bool = False, max_steps: int = 16384,
+                      ray_tile: int = RAY_TILE, unroll: int = 4,
+                      lo_size: int = LO) -> jax.Array:
+    """pallas_topwalk in the kernel-native COLUMN-MAJOR layout:
+    returns (num_words, R) int32 — word-major, rays on lanes — with no
+    XLA transpose. This is the direct input layout of the per-ray-exact
+    expansion kernel (kernels/cluster_expand.py), which re-blocks it as
+    (num_words//8, 8, R) pages; pass num_words padded to a multiple of
+    8 for that consumer (extra high words simply stay zero)."""
     r = ro.shape[0]
     nt = table.shape[0]
     assert r % ray_tile == 0, r
@@ -212,7 +231,7 @@ def pallas_topwalk(table: jax.Array, ro: jax.Array, rd: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
-    return mask.T
+    return mask
 
 @partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
                                    "ray_tile", "unroll", "lo_size",

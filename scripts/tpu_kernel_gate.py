@@ -123,6 +123,24 @@ for size in SIZES:
           f"overflow={int(jnp.sum(overflow))})", flush=True)
     fails += not same_k
 
+    # --- phase B'': per-ray-exact expansion kernel (round 5) — must be
+    # BITWISE equal to the mask kernel on the hardware (exact bf16
+    # transport + identical merge order)
+    from raypt.kernels.cluster_expand import pallas_cluster_expand
+    cwp = -(-num_words // 8) * 8
+    mask_cm = jnp.concatenate(
+        [mask_ref.T, jnp.zeros((cwp - num_words, r), jnp.int32)], axis=0)
+    t = time.time()
+    t_xw, f_xw = pallas_cluster_expand(mask_cm, rows_cm, ro, rd, t0,
+                                       n_rays=2048)
+    jax.block_until_ready(t_xw)
+    dt_xw = time.time() - t
+    ok_x = (bool(jnp.array_equal(f_xw, f_mw))
+            and bool(jnp.array_equal(t_xw, t_mw)))
+    print(f"[{size}] expand kernel: {dt_xw:.1f}s, bitwise-parity="
+          f"{'OK' if ok_x else 'FAIL'}", flush=True)
+    fails += not ok_x
+
     if size <= 256:
         t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd,
                                               t0, tile=TILE)
