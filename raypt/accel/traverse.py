@@ -468,7 +468,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                         tile_b: int = 0,
                         segment_sort: int = 0,
                         walk_tile: int = 0,
-                        expand_n: int = 0) -> HitIds:
+                        expand_n: int = 0,
+                        compact_n: int = 0) -> HitIds:
     """Two-phase one-hot MXU finder — the flagship TPU path.
 
     accel = (Clusters, encoded top-tree table) from
@@ -555,6 +556,8 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
     chunk = max(8 * tile_b, RAY_TILE)
     if expand_n:
         chunk = max(chunk, 8 * expand_n, walk_tile or RAY_TILE)
+    if compact_n:
+        chunk = max(chunk, compact_n)
     pad = (-n) % chunk
     if pad:
         flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
@@ -623,6 +626,18 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         from ..kernels.onehot_walk import pallas_topwalk_cm
         assert scene.mesh.faces.shape[0] < (1 << 24), \
             "expand path encodes face ids as 3 bf16 base-256 digits"
+        orig_a = flat_a
+        if compact_n and flat_o.shape[0] % compact_n == 0:
+            # in-kernel alive-compaction (kernels/compact.py): live
+            # rays stably permuted to each group's front so trailing
+            # walk tiles zero-trip and the expansion kernel's cluster
+            # scans concentrate into the leading programs; (t, face)
+            # are un-permuted in-kernel below. Bitwise-neutral.
+            from ..kernels.compact import (pallas_alive_compact,
+                                           pallas_alive_uncompact)
+            flat_o, flat_d, flat_t, flat_a = pallas_alive_compact(
+                flat_o, flat_d, flat_t, flat_a, group=compact_n,
+                interpret=not _tpu_backend())
         cwp = -(-num_words // 8) * 8
         mask_cm = pallas_topwalk_cm(table, flat_o, flat_d, flat_t,
                                     flat_a, cwp,
@@ -633,6 +648,11 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         t_best, face = pallas_cluster_expand(
             mask_cm, rows_cm, flat_o, flat_d, seed,
             interpret=not _tpu_backend(), n_rays=expand_n)
+        if compact_n and flat_o.shape[0] % compact_n == 0:
+            t_best, face = pallas_alive_uncompact(
+                t_best, face, orig_a, group=compact_n,
+                interpret=not _tpu_backend())
+            flat_a = orig_a
         t_best = jnp.where(flat_a, t_best, BIG)[:n].reshape(shape)
         face = jnp.where(flat_a, face, -1)[:n].reshape(shape)
         tri_wins = face >= 0

@@ -272,6 +272,17 @@ class RenderConfig:
                                 # against the rays that want it, via
                                 # in-kernel one-hot lane regrouping.
                                 # 0 = dense per-tile union kernel.
+    onehot_compact: int = 0     # backend "onehot": group size for
+                                # IN-KERNEL alive-compaction of deep-
+                                # bounce wavefronts (kernels/compact.py,
+                                # round 5): live rays are stably
+                                # permuted to the front of each group
+                                # before the walk, so trailing walk
+                                # tiles zero-trip and the expansion
+                                # kernel's cluster scans concentrate;
+                                # results are un-permuted in-kernel.
+                                # 0 = off. Only active together with
+                                # onehot_expand.
     onehot_leaf: int = 128      # triangles per cluster for backend
                                 # "onehot" when the accel is built
                                 # implicitly (make_finder /

@@ -85,7 +85,8 @@ def make_finder(scene: Scene, cfg: RenderConfig,
             accel = build_onehot(the_bvh, scene.mesh.positions,
                                  scene.mesh.faces, scene.mesh.face_valid,
                                  leaf=cfg.onehot_leaf)
-        return partial(_onehot_finder, accel, cfg.onehot_expand)
+        return partial(_onehot_finder, accel, cfg.onehot_expand,
+                       cfg.onehot_compact)
     if backend == "cluster":
         from ..accel.clusters import Clusters, build_clusters
         if isinstance(bvh, Clusters):
@@ -150,10 +151,11 @@ def _dense_finder(woop, scene, ro, rd, active=None):
     return find_closest_dense(scene, woop, ro, rd, active=active)
 
 
-def _onehot_finder(accel, expand_n, scene, ro, rd, active=None):
+def _onehot_finder(accel, expand_n, compact_n, scene, ro, rd,
+                   active=None):
     from ..accel.traverse import find_closest_onehot
     return find_closest_onehot(scene, accel, ro, rd, active=active,
-                               expand_n=expand_n)
+                               expand_n=expand_n, compact_n=compact_n)
 
 
 def _cluster_finder(cl, scene, ro, rd, active=None):

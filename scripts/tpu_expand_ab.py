@@ -28,6 +28,9 @@ MODE = sys.argv[1] if len(sys.argv) > 1 else "fwd"
 LEAF = int(os.environ.get("AB_LEAF", 128))
 SWEEP = [int(x) for x in
          os.environ.get("AB_EXPAND", "0,2048,4096,8192").split(",")]
+# in-kernel alive-compaction group sizes to cross with the expand sweep
+# (0 = off); see kernels/compact.py
+COMPACT = [int(x) for x in os.environ.get("AB_COMPACT", "0").split(",")]
 
 b = stanford_bunny()
 b.camera.viewport_width = b.camera.viewport_height = 1024
@@ -57,9 +60,11 @@ def timeit(name, f, *args, reps=3):
 
 ref_img = None
 for expand in SWEEP:
+  for compact in COMPACT:
     cfg = RenderConfig(width=1024, height=1024, samples_per_pixel=1,
                        num_bounces=4, backend="onehot",
-                       onehot_leaf=LEAF, onehot_expand=expand)
+                       onehot_leaf=LEAF, onehot_expand=expand,
+                       onehot_compact=compact)
 
     if MODE == "fwd":
         @jax.jit
@@ -68,7 +73,7 @@ for expand in SWEEP:
             return render_sample(scene, cfg,
                                  sample_key(frame_key(k, 0), 0), finder)
 
-        img = timeit(f"fwd expand={expand}", fwd, key)
+        img = timeit(f"fwd expand={expand} compact={compact}", fwd, key)
         if ref_img is None:
             ref_img = img
         else:
