@@ -71,8 +71,13 @@ CHILD_TIMEOUT = float(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
 LEAF_TRIS = int(os.environ.get("BENCH_LEAF_TRIS", 1))
 LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 # backend "onehot": rays/program for the per-ray-exact phase-B
-# expansion kernel (0 = dense per-tile union kernel)
-EXPAND_N = int(os.environ.get("BENCH_EXPAND_N", 0))
+# expansion kernel (0 = dense per-tile union kernel). Default 8192:
+# the round-5 leaf x expand sweep (scripts/tpu_expand_ab.py, v5e)
+# measured fwd 658 ms (dense leaf=128) -> 370 ms (expand=8192,
+# leaf=512), bitwise-identical images.
+EXPAND_N = int(os.environ.get("BENCH_EXPAND_N", 8192))
+# in-kernel alive-compaction group (kernels/compact.py); 0 = off
+COMPACT_N = int(os.environ.get("BENCH_COMPACT_N", 0))
 
 
 def run_child(backend: str) -> dict:
@@ -106,17 +111,21 @@ def run_child(backend: str) -> dict:
                        num_bounces=BOUNCES, backend=backend,
                        russian_roulette=True,
                        leaf_tris=LEAF_TRIS, node_lookahead=LOOKAHEAD,
-                       onehot_expand=EXPAND_N)
+                       onehot_expand=EXPAND_N, onehot_compact=COMPACT_N)
     bvh = build_sah(scene.mesh)   # native SAH (better tree); None -> LBVH
     if bvh is None:
         bvh = build(scene.mesh.positions, scene.mesh.faces,
                     scene.mesh.face_valid)
     if backend == "onehot":
         from raypt.accel.ctree import build_onehot
-        # leaf=128 measured best on this workload (667 ms fwd vs 675
-        # at 64 and 963 at 256 — walk cost halves per doubling, dense
-        # phase-B cost grows; scripts/tpu_onehot_bisect.py sweep)
-        leaf = int(os.environ.get("BENCH_ONEHOT_LEAF", 128))
+        # leaf=512 with the per-ray-exact expansion kernel (round 5):
+        # with no union waste to pay, bigger clusters shorten both the
+        # walk and the distinct-cluster scans — leaf sweep at
+        # expand=8192 measured fwd 499/389/370/457 ms at leaf
+        # 128/256/512/1024 (scripts/tpu_expand_ab.py). The old dense
+        # kernel's optimum was 128 (667 ms; set BENCH_EXPAND_N=0 +
+        # BENCH_ONEHOT_LEAF=128 to reproduce).
+        leaf = int(os.environ.get("BENCH_ONEHOT_LEAF", 512))
         bvh = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
                            scene.mesh.face_valid, leaf=leaf)
         jax.block_until_ready(bvh[1])

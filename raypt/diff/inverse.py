@@ -182,9 +182,16 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
         k_total = targets.shape[0]
         assert k_total % n == 0, (k_total, n)
 
+        # check_vma=False (round 5): the flagship onehot finder's
+        # interpret-mode Pallas kernels don't propagate varying-axes
+        # tags through their kernel-trace ops, so the vma audit false-
+        # positives on in-kernel while_loop carries. With the audit
+        # off, AD no longer inserts the replicated-param cotangent
+        # psum — the explicit psum on grads below replaces it
+        # (oracle-checked in tests/test_dist.py sharded-fit parity).
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(), P("views"), P("views")),
-                 out_specs=(P(), P()))
+                 out_specs=(P(), P()), check_vma=False)
         def shard_loss_grad(p, views_l, targets_l):
             def local_loss(p):
                 if param_map is not None:
@@ -209,9 +216,15 @@ def make_fit_step_sharded(scene: Scene, cfg: RenderConfig, optimizer,
                 # "varying" type matches the loop body under shard_map
                 total = jax.lax.fori_loop(0, k_local, one_view,
                                           jnp.sum(targets_l) * 0.0)
-                return jax.lax.psum(total, "views") / k_total
+                # psum happens OUTSIDE the differentiated function:
+                # under check_vma=False an in-loss psum transposes to
+                # psum (not the identity pbroadcast), multiplying every
+                # shard's cotangent by the mesh size (caught as exactly
+                # 8x grads by test_view_sharded_vertex_offset_recovery)
+                return total / k_total
 
-            return jax.value_and_grad(local_loss)(p)
+            l, g = jax.value_and_grad(local_loss)(p)
+            return jax.lax.psum(l, "views"), jax.lax.psum(g, "views")
 
         loss, grads = shard_loss_grad(params, views, targets)
         if param_reg is not None:

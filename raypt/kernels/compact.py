@@ -77,29 +77,82 @@ def _sel_chunk(rank: jax.Array, slot: jax.Array, base: int):
 
 
 def _kernel_compact(pay_ref, act_ref, out_ref, *, n: int):
-    rank = _ranks(act_ref[:], n)                 # (1, n)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+    """Routing cost tracks the ALIVE fraction, not the group size:
+      * identity fast path (pl.when): a full-alive or already-prefixed
+        group (every bounce-0 group) is a plain VMEM copy — no
+        selection matmuls at all;
+      * routed path: only ceil(na / 128) destination chunks carry
+        alive-lane data, so the chunk loop is a while_loop bounded by
+        the group's live count; the remaining destinations are zeroed
+        (act row 0 = dead — the walk ignores them and the caller masks
+        results with the ORIGINAL alive mask)."""
+    act = act_ref[:]                             # (1, n) i32
+    rank = _ranks(act, n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    is_id = jnp.all(rank == lane)
     pay = pay_ref[:]                             # (rows, n) bf16
-    for j in range(n // 128):
-        s = _sel_chunk(rank, slot, j * 128)
-        out_ref[:, j * 128:(j + 1) * 128] = jax.lax.dot_general(
-            pay, s, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (rows, 128)
+
+    @pl.when(is_id)
+    def _copy():
+        out_ref[:] = pay.astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(is_id))
+    def _route():
+        na = jnp.sum(act)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        out_ref[:] = jnp.zeros((pay.shape[0], n), jnp.float32)
+
+        def cond(j):
+            return j * 128 < na
+
+        def body(j):
+            s = _sel_chunk(rank, slot, j * 128)
+            out_ref[:, pl.ds(j * 128, 128)] = jax.lax.dot_general(
+                pay, s, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (rows, 128)
+            return j + 1
+
+        jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def _kernel_uncompact(y_ref, act_ref, out_ref, *, n: int):
-    rank = _ranks(act_ref[:], n)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
-    acc = jnp.zeros((y_ref.shape[0], n), jnp.float32)
-    for j in range(n // 128):
-        s = _sel_chunk(rank, slot, j * 128)
-        # lane i receives y[:, rank[i]]; each lane's rank lands in
-        # exactly one chunk, so the chunk contributions are disjoint
-        acc = acc + jax.lax.dot_general(
-            y_ref[:, j * 128:(j + 1) * 128].astype(jnp.bfloat16), s,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (rows, n)
-    out_ref[:] = acc
+    """Inverse routing, same alive-bounded structure: only source
+    slots [0, na) hold live results; dead destination lanes read zeros
+    (face digits 0 decode to -1 and the caller masks by the original
+    alive anyway)."""
+    act = act_ref[:]
+    rank = _ranks(act, n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    is_id = jnp.all(rank == lane)
+
+    @pl.when(is_id)
+    def _copy():
+        out_ref[:] = y_ref[:].astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(is_id))
+    def _route():
+        na = jnp.sum(act)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        rows = y_ref.shape[0]
+
+        def cond(st):
+            return st[0] * 128 < na
+
+        def body(st):
+            j, acc = st
+            s = _sel_chunk(rank, slot, j * 128)
+            # lane i receives y[:, rank[i]]; each alive lane's rank
+            # lands in exactly one chunk, so contributions are disjoint
+            acc = acc + jax.lax.dot_general(
+                y_ref[:, pl.ds(j * 128, 128)].astype(jnp.bfloat16), s,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (rows, n)
+            return j + 1, acc
+
+        _, acc = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((rows, n), jnp.float32)))
+        out_ref[:] = acc
 
 
 def _run(kernel, rows_in, rows_out, pay, act_row, n_prog, group, r,

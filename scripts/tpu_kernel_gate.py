@@ -141,6 +141,46 @@ for size in SIZES:
           f"{'OK' if ok_x else 'FAIL'}", flush=True)
     fails += not ok_x
 
+    # --- alive-compaction router (round 5): stable alive-first
+    # permutation + inverse, bitwise vs the numpy oracle on a sparse
+    # (deep-bounce-shaped) mask; full-alive groups take the identity
+    # fast path and must pass originals through untouched
+    from raypt.kernels.compact import (pallas_alive_compact,
+                                       pallas_alive_uncompact)
+    import numpy as _npc
+    g = 8192
+    alive = _npc.random.default_rng(3).random(r) < 0.11
+    alive[: min(g, r)] = True        # one full-alive group -> identity
+    alive_j = jnp.asarray(alive)
+    t = time.time()
+    o_p, d_p, t_p, a_p = pallas_alive_compact(ro, rd, t0, alive_j,
+                                              group=g)
+    t_syn = jnp.asarray(
+        _npc.random.default_rng(4).random(r).astype(_npc.float32) * 50)
+    f_syn = jnp.asarray(_npc.random.default_rng(5).integers(
+        -1, 1 << 20, size=r).astype(_npc.int32))
+    t_u, f_u = pallas_alive_uncompact(t_syn, f_syn, alive_j, group=g)
+    jax.block_until_ready((a_p, t_u))
+    dt_c = time.time() - t
+    order = _npc.concatenate([
+        k * g + _npc.argsort(~alive[k * g:(k + 1) * g], kind="stable")
+        for k in range(r // g)])
+    live_dst = alive[order]
+    inv = _npc.zeros(r, _npc.int64)
+    inv[order] = _npc.arange(r)
+    ok_c = (bool(_npc.array_equal(_npc.asarray(a_p), live_dst))
+            and bool(_npc.array_equal(_npc.asarray(o_p)[live_dst],
+                                      _npc.asarray(ro)[order][live_dst]))
+            and bool(_npc.array_equal(_npc.asarray(t_p)[live_dst],
+                                      _npc.asarray(t0)[order][live_dst]))
+            and bool(_npc.array_equal(_npc.asarray(t_u)[alive],
+                                      _npc.asarray(t_syn)[inv][alive]))
+            and bool(_npc.array_equal(_npc.asarray(f_u)[alive],
+                                      _npc.asarray(f_syn)[inv][alive])))
+    print(f"[{size}] compact/uncompact: {dt_c:.1f}s, bitwise-parity="
+          f"{'OK' if ok_c else 'FAIL'}", flush=True)
+    fails += not ok_c
+
     if size <= 256:
         t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd,
                                               t0, tile=TILE)

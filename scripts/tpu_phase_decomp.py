@@ -128,6 +128,20 @@ for i, (ro_n, rd_n, al_n) in enumerate(waves):
         u, rows_cm, o, d, t))
     t_b, face = timeit("intersect ", is_f, union, ro, rd, seed)
 
+    # round-5 per-ray-exact path: column-major walk + expansion kernel
+    # (set PD_EXPAND=0 to skip)
+    exp_n = int(os.environ.get("PD_EXPAND", 8192))
+    if exp_n:
+        from raypt.kernels.cluster_expand import pallas_cluster_expand
+        from raypt.kernels.onehot_walk import pallas_topwalk_cm
+        cwp = -(-nw // 8) * 8
+        wcm_f = jax.jit(lambda o, d, t, a: pallas_topwalk_cm(
+            table, o, d, t, a, cwp))
+        mask_cm = timeit("walk (cm) ", wcm_f, ro, rd, seed, al)
+        ex_f = jax.jit(lambda m, o, d, t: pallas_cluster_expand(
+            m, rows_cm, o, d, t, n_rays=exp_n))
+        timeit("expand    ", ex_f, mask_cm, ro, rd, seed)
+
     def shade(o, d, f, t):
         from raypt.accel.traverse import HitIds
         ids = HitIds(t=t, tri=f, sphere=jnp.full_like(f, -1))

@@ -28,6 +28,10 @@ def _np_order(alive, group):
 
 @pytest.mark.smoke
 def test_compact_bitwise_permutation(rng):
+    """Contract: within each group, the first na destination lanes
+    hold the alive lanes' data BITWISE (stable order); trailing lanes
+    are dead (act=0 — their payload is unspecified: the routed path
+    zeroes them, the identity path passes originals through)."""
     r, g = 1024, 256
     ro = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32) * 1e3)
     rd = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
@@ -36,14 +40,18 @@ def test_compact_bitwise_permutation(rng):
     o_p, d_p, t_p, a_p = pallas_alive_compact(ro, rd, t0, alive,
                                               group=g, interpret=True)
     order = _np_order(np.asarray(alive), g)
-    assert np.array_equal(np.asarray(o_p), np.asarray(ro)[order])
-    assert np.array_equal(np.asarray(d_p), np.asarray(rd)[order])
-    assert np.array_equal(np.asarray(t_p), np.asarray(t0)[order])
-    assert np.array_equal(np.asarray(a_p), np.asarray(alive)[order])
+    live = np.asarray(alive)[order]          # alive-first per group
+    assert np.array_equal(np.asarray(a_p), live)
+    assert np.array_equal(np.asarray(o_p)[live], np.asarray(ro)[order][live])
+    assert np.array_equal(np.asarray(d_p)[live], np.asarray(rd)[order][live])
+    assert np.array_equal(np.asarray(t_p)[live], np.asarray(t0)[order][live])
 
 
 @pytest.mark.smoke
 def test_uncompact_inverts(rng):
+    """Alive source lanes' results return to their original lanes
+    bitwise; dead lanes decode to (0, -1) on the routed path (callers
+    mask by the original alive either way)."""
     r, g = 2048, 512
     alive = jnp.asarray(rng.random(r) < 0.1)
     t_res = jnp.asarray((rng.random(r) * 100).astype(np.float32))
@@ -54,8 +62,9 @@ def test_uncompact_inverts(rng):
     order = _np_order(np.asarray(alive), g)
     inv = np.zeros(r, np.int64)
     inv[order] = np.arange(r)
-    assert np.array_equal(np.asarray(t_u), np.asarray(t_res)[inv])
-    assert np.array_equal(np.asarray(f_u), np.asarray(f_res)[inv])
+    live = np.asarray(alive)
+    assert np.array_equal(np.asarray(t_u)[live], np.asarray(t_res)[inv][live])
+    assert np.array_equal(np.asarray(f_u)[live], np.asarray(f_res)[inv][live])
 
 
 def test_compact_all_dead_and_all_alive(rng):
