@@ -76,8 +76,10 @@ LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 # measured fwd 658 ms (dense leaf=128) -> 370 ms (expand=8192,
 # leaf=512), bitwise-identical images.
 EXPAND_N = int(os.environ.get("BENCH_EXPAND_N", 8192))
-# in-kernel alive-compaction group (kernels/compact.py); 0 = off
-COMPACT_N = int(os.environ.get("BENCH_COMPACT_N", 0))
+# in-kernel alive-compaction group (kernels/compact.py); 0 = off.
+# Default 32768: sweep measured fwd 376/368/336/317/326 ms at compact
+# 0/8k/16k/32k/64k (leaf=512, expand=8192); fwd+bwd 399 ms at 32k.
+COMPACT_N = int(os.environ.get("BENCH_COMPACT_N", 32768))
 
 
 def run_child(backend: str) -> dict:

@@ -155,8 +155,24 @@ bad_bvh = build(bad.mesh.positions, bad.mesh.faces, bad.mesh.face_valid)
 n_dev = len(jax.devices())
 vmesh = Mesh(np.array(jax.devices()), ("views",))
 total_steps = sum(s for _, s, _ in phases)
-optimizer = optax.adam(optax.cosine_decay_schedule(LR, total_steps,
-                                                   alpha=0.05))
+# Round-5 multi-resolution stabilization (r4: the 48->64 target switch
+# at lr .05 DIVERGED 0.101 -> 0.242): each phase gets a FRESH adam +
+# its own cosine schedule with the peak lr decayed per phase. The
+# divergence mechanism is adam's second-moment estimate carrying over
+# a target-resolution switch: the new loss surface's gradient scale
+# differs, so the stale v underestimates curvature and the first steps
+# overshoot — resetting moments and warm-starting at a lower peak is
+# the standard coarse-to-fine recipe. Single-phase runs are unchanged
+# (decay^0 = 1, one schedule).
+PHASE_LR_DECAY = float(os.environ.get("C5_PHASE_LR_DECAY", 0.5))
+
+
+def optimizer_at(pi: int, steps_p: int):
+    return optax.adam(optax.cosine_decay_schedule(
+        LR * PHASE_LR_DECAY ** pi, steps_p, alpha=0.05))
+
+
+optimizer = optimizer_at(0, phases[0][1])
 
 # mesh-Laplacian smoothness prior on the vertex offsets: spreads the
 # sparse depth/shading gradient signal across the surface (the
@@ -195,6 +211,9 @@ gi = 0
 for pi, (size_p, steps_p, lap_p) in enumerate(phases):
     cfg_p = cfg_at(size_p)
     targets_p = targets if size_p == cfg.width else targets_at(cfg_p)
+    if pi > 0:
+        optimizer = optimizer_at(pi, steps_p)
+        opt_state = optimizer.init(params)   # fresh moments (see above)
     reg = make_laplacian_reg(bad.mesh.faces, bad.mesh.face_valid,
                              bad.mesh.positions.shape[0], weight=lap_p)
     train = ["albedo_logits"]

@@ -211,5 +211,13 @@ for size in SIZES:
               f"parity={'OK' if ok_s else 'FAIL'}", flush=True)
         fails += not ok_s
 
+    # free this size's device buffers before the next size: with the
+    # round-5 checks added, keeping two sizes' masks + oracles alive
+    # OOMed the eager union tree-reduce at 1024 (RESOURCE_EXHAUSTED in
+    # tile_union_counts); each size passes standalone
+    del mask_hw, mask_ref, u_hw, u_ref, wl, cnt, t_hw, f_hw, union, \
+        counts, t_mw, f_mw, mask_cm, t_xw, f_xw, o_p, d_p, t_p, a_p, \
+        t_u, f_u, t_syn, f_syn, ro, rd, t0
+
 print("GATE " + ("PASS" if fails == 0 else f"FAIL ({fails})"), flush=True)
 sys.exit(1 if fails else 0)
