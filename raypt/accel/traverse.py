@@ -623,7 +623,7 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
         # the expansion kernel regroups lanes per cluster and tests
         # each cluster only against its interested rays.
         from ..kernels.cluster_expand import pallas_cluster_expand
-        from ..kernels.onehot_walk import pallas_topwalk_cm
+        from ..kernels.onehot_walk import pallas_topwalk_cm_u
         assert scene.mesh.faces.shape[0] < (1 << 24), \
             "expand path encodes face ids as 3 bf16 base-256 digits"
         orig_a = flat_a
@@ -639,15 +639,19 @@ def find_closest_onehot(scene: Scene, accel, ro, rd, active=None,
                 flat_o, flat_d, flat_t, flat_a, group=compact_n,
                 interpret=not _tpu_backend())
         cwp = -(-num_words // 8) * 8
-        mask_cm = pallas_topwalk_cm(table, flat_o, flat_d, flat_t,
-                                    flat_a, cwp,
-                                    interpret=not _tpu_backend(),
-                                    ray_tile=walk_tile or RAY_TILE)
+        # dual-output walk: per-ray mask + per-walk-program unions, so
+        # the expansion wrapper's group-union fold reads tiny rows
+        # instead of tree-reducing the full (cwp, R) mask (round 5)
+        mask_cm, union_pp = pallas_topwalk_cm_u(
+            table, flat_o, flat_d, flat_t, flat_a, cwp,
+            interpret=not _tpu_backend(),
+            ray_tile=walk_tile or RAY_TILE)
         seed = jnp.where(flat_a, flat_t, -BIG)
         rows_cm = jnp.transpose(clusters.tri_rows, (0, 2, 1))
         t_best, face = pallas_cluster_expand(
             mask_cm, rows_cm, flat_o, flat_d, seed,
-            interpret=not _tpu_backend(), n_rays=expand_n)
+            interpret=not _tpu_backend(), n_rays=expand_n,
+            union_pp=union_pp)
         if compact_n and flat_o.shape[0] % compact_n == 0:
             t_best, face = pallas_alive_uncompact(
                 t_best, face, orig_a, group=compact_n,

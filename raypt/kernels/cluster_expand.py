@@ -217,7 +217,8 @@ def _kernel_expand(summary_ref, union_ref, pay_ref, mask_ref, t0_ref,
 @partial(jax.jit, static_argnames=("interpret", "n_rays"))
 def pallas_cluster_expand(mask_cm, tri_rows_cm, ro, rd, t0,
                           interpret: bool = False,
-                          n_rays: int = EXPAND_N):
+                          n_rays: int = EXPAND_N,
+                          union_pp=None):
     """Per-ray-exact phase B (see module docstring).
 
     mask_cm (CWP, R) i32: per-ray wanted-cluster bitmask in the walk
@@ -226,7 +227,13 @@ def pallas_cluster_expand(mask_cm, tri_rows_cm, ro, rd, t0,
     (C, 12, LEAF) f32, ro/rd (R, 3) rays, t0 (R,) seed distances.
     R must divide into 8 * n_rays program groups. Returns
     (t_best (R,), face (R,) i32, -1 = miss) — bitwise equal to
-    pallas_cluster_intersect_mask on the same masks."""
+    pallas_cluster_intersect_mask on the same masks.
+
+    union_pp (round 5): optional (R // walk_tile, CWP) per-walk-program
+    unions from pallas_topwalk_cm_u. When given (and the walk tile
+    divides n_rays), the per-group distinct-cluster union is OR-folded
+    from these tiny rows instead of tree-reducing the full (CWP, R)
+    mask — the reduce reads ~100 MB/bounce on the 1024^2 bench."""
     r = ro.shape[0]
     cwp = mask_cm.shape[0]
     assert cwp % 8 == 0, f"pad num_words to a multiple of 8, got {cwp}"
@@ -247,9 +254,18 @@ def pallas_cluster_expand(mask_cm, tri_rows_cm, ro, rd, t0,
             [mask_cm[:cw - 1], fixed, mask_cm[cw:]], axis=0)
 
     # per-program distinct-cluster union + nonzero-word summary
-    union = jax.lax.reduce(
-        mask_cm.reshape(cwp, n_prog, n_rays), jnp.int32(0),
-        jax.lax.bitwise_or, (2,)).T                         # (n_prog, cwp)
+    if union_pp is not None and n_rays % (r // union_pp.shape[0]) == 0:
+        wt = r // union_pp.shape[0]                         # walk tile
+        if 0 < tail < 32:   # mirror the stray-high-bit guard above
+            union_pp = union_pp.at[:, cw - 1].set(
+                union_pp[:, cw - 1] & jnp.int32((1 << tail) - 1))
+        union = jax.lax.reduce(
+            union_pp.reshape(n_prog, n_rays // wt, cwp), jnp.int32(0),
+            jax.lax.bitwise_or, (1,))                       # (n_prog, cwp)
+    else:
+        union = jax.lax.reduce(
+            mask_cm.reshape(cwp, n_prog, n_rays), jnp.int32(0),
+            jax.lax.bitwise_or, (2,)).T                     # (n_prog, cwp)
     summary = word_summary(union)
     sw = summary.shape[1]
     # summary/union ride 8-program SMEM blocks; pad the (tiny) arrays

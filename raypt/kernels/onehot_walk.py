@@ -59,8 +59,8 @@ def prep_radix_table_t(table: jax.Array, lo: int = LO) -> jax.Array:
 
 
 def _kernel(o_ref, d_ref, iv_ref, t0_ref, act_ref, tab_ref, mask_ref,
-            *, lo_size: int, hi_blocks: int, cw: int, max_iters: int,
-            unroll: int, union_tile: int = 0):
+            union_ref=None, *, lo_size: int, hi_blocks: int, cw: int,
+            max_iters: int, unroll: int, union_tile: int = 0):
     o = o_ref[:]                       # (3, R_T) f32
     iv = iv_ref[:]                     # (3, R_T) f32
     t0 = t0_ref[:]                     # (1, R_T) f32
@@ -130,6 +130,20 @@ def _kernel(o_ref, d_ref, iv_ref, t0_ref, act_ref, tab_ref, mask_ref,
         cond, body, (node0, mask0, jnp.int32(0)))
     if union_tile == 0:
         mask_ref[:] = mask
+        if union_ref is not None:
+            # ALSO emit this program's whole-tile union as column 0 of
+            # a (cw, 128) padded block (round 5): the expansion
+            # kernel's wrapper needs per-group unions + summaries, and
+            # OR-folding here kills its (cw, R)-scale XLA reduce
+            # (~100 MB of HBM reads per bounce)
+            blk = mask
+            w = r_t
+            while w > 1:
+                h = w // 2
+                blk = blk[:, :h] | blk[:, h:w]
+                w = h
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (cw, 128), 1)
+            union_ref[:] = jnp.where(lane0 == 0, blk, 0)
     else:
         # fused union emission: OR-reduce each contiguous union_tile
         # lane block to one column — the per-ray mask never leaves the
@@ -232,6 +246,78 @@ def pallas_topwalk_cm(table: jax.Array, ro: jax.Array, rd: jax.Array,
         interpret=interpret,
     )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
     return mask
+
+@partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
+                                   "ray_tile", "unroll", "lo_size"))
+def pallas_topwalk_cm_u(table: jax.Array, ro: jax.Array, rd: jax.Array,
+                        t0: jax.Array, active: jax.Array, num_words: int,
+                        interpret: bool = False, max_steps: int = 16384,
+                        ray_tile: int = RAY_TILE, unroll: int = 4,
+                        lo_size: int = LO):
+    """pallas_topwalk_cm that ALSO returns per-walk-program unions:
+    (mask_cm (num_words, R), union_pp (R // ray_tile, num_words)) —
+    union_pp[i] = OR over program i's rays. Input layout for the
+    expansion kernel: its wrapper OR-folds union_pp over the programs
+    of each expansion group instead of tree-reducing the full (cw, R)
+    mask (round 5: ~100 MB of HBM reads per bounce on the 1024^2
+    bench)."""
+    r = ro.shape[0]
+    nt = table.shape[0]
+    assert r % ray_tile == 0, r
+    grid = (r // ray_tile,)
+    tab_radix = prep_radix_table_t(table, lo_size)
+    hi_blocks = tab_radix.shape[0] // ROW
+
+    safe = jnp.where(jnp.abs(rd) > 1e-12, rd,
+                     jnp.where(rd >= 0, 1e-12, -1e-12))
+    inv = 1.0 / safe
+
+    iters = -(-min(max_steps, nt + 1) // unroll)
+    kernel = partial(_kernel, lo_size=lo_size, hi_blocks=hi_blocks,
+                     cw=num_words, max_iters=iters, unroll=unroll)
+    o_t = ro.T.reshape(3, r)
+    d_t = rd.T.reshape(3, r)
+    iv_t = inv.T.reshape(3, r)
+    t0_r = t0.reshape(1, r)
+    act_r = active.astype(jnp.int32).reshape(1, r)
+    vma = vma_of(ro, rd, t0, active)
+    o_t, d_t, iv_t, t0_r, act_r, tab_radix = pvary_to(
+        vma, o_t, d_t, iv_t, t0_r, act_r, tab_radix)
+    mask, union = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hi_blocks * ROW, lo_size), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_words, ray_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_words, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_words, r), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((num_words, 128 * grid[0]), jnp.int32,
+                                 vma=vma),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(o_t, d_t, iv_t, t0_r, act_r, tab_radix)
+    union_pp = union.reshape(num_words, grid[0], 128)[:, :, 0].T
+    return mask, union_pp
+
 
 @partial(jax.jit, static_argnames=("num_words", "interpret", "max_steps",
                                    "ray_tile", "unroll", "lo_size",
