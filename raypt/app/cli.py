@@ -96,7 +96,10 @@ def cmd_render(args):
     refr = bool(float(scene.materials.refraction_percent.max()) > 0.0)
     cfg = RenderConfig(width=size[0], height=size[1],
                        samples_per_pixel=args.spp, num_bounces=args.bounces,
-                       backend=args.backend, enable_refraction=refr)
+                       backend=args.backend, enable_refraction=refr,
+                       onehot_leaf=args.onehot_leaf,
+                       onehot_expand=args.onehot_expand,
+                       onehot_compact=args.onehot_compact)
     bvh = None
     if cfg.backend in ("bvh", "auto", "pallas"):
         bvh = build(scene.mesh.positions, scene.mesh.faces,
@@ -107,7 +110,7 @@ def cmd_render(args):
                         scene.mesh.face_valid)
         bvh = build_onehot(the_bvh, scene.mesh.positions,
                            scene.mesh.faces, scene.mesh.face_valid,
-                           leaf=128)
+                           leaf=cfg.onehot_leaf)
 
     key = jax.random.key(args.seed)
     acc, start_frame = None, 0
@@ -209,6 +212,17 @@ def main(argv=None):
     pr.add_argument("--backend", default="auto",
                     choices=["auto", "bvh", "bvh2", "bvh4", "dense",
                              "bruteforce", "pallas", "onehot", "cluster"])
+    pr.add_argument("--onehot-leaf", type=int, default=512,
+                    help="backend onehot: triangles/cluster (512 = "
+                         "round-5 measured optimum with the expansion "
+                         "kernel; 128 for the dense-union kernel)")
+    pr.add_argument("--onehot-expand", type=int, default=8192,
+                    help="backend onehot: rays/program for the "
+                         "per-ray-exact phase-B expansion kernel "
+                         "(0 = dense per-tile union kernel)")
+    pr.add_argument("--onehot-compact", type=int, default=32768,
+                    help="backend onehot: in-kernel alive-compaction "
+                         "group (0 = off); only with --onehot-expand")
     pr.add_argument("--exposure", type=float, default=0.5)
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--checkpoint", default=None)
