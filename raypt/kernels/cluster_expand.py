@@ -149,59 +149,87 @@ def _kernel_expand(summary_ref, union_ref, pay_ref, mask_ref, t0_ref,
 
             def bbody(st2):
                 bits, tb, fb = st2
-                lsb = bits & -bits
-                k = dbj_ref[0, jax.lax.shift_right_logical(
-                    lsb * DBJ, 27) & 31]
-                c = w * 32 + k
-                m = jax.lax.shift_right_logical(mrow, k) & 1   # (1, N)
-                count = jnp.sum(m)
-                rank = _lane_prefix_sum(m, n) - m              # exclusive
+                # BATCH-8 rank pass (round 5): a (1, N) row occupies
+                # 64 vregs at 1/8 sublane occupancy, so the per-cluster
+                # log-step prefix sum was the cycle's dominant VPU cost
+                # (13 steps x 128 vreg-ops). Extract up to 8 set bits
+                # (scalar ops), stack their interest rows to (8, N),
+                # and rank ALL of them in ONE full-occupancy pass —
+                # identical op count to one (1, N) pass, 8x the work.
+                # Ascending-lsb order is preserved (invalid slots carry
+                # m = 0 and are skipped), so the min-merge sequence —
+                # and therefore the result — stays BITWISE identical.
+                ms = []
+                kcs = []
+                b = bits
+                for _ in range(8):
+                    lsb = b & -b
+                    kk = dbj_ref[0, jax.lax.shift_right_logical(
+                        lsb * DBJ, 27) & 31]
+                    valid = b != 0
+                    ms.append(jnp.where(
+                        valid,
+                        jax.lax.shift_right_logical(mrow, kk) & 1,
+                        0))                                # (1, N)
+                    kcs.append(jnp.where(valid, kk, 0))
+                    b = b & (b - 1)
+                m8 = jnp.concatenate(ms, axis=0)           # (8, N)
+                rank8 = _lane_prefix_sum(m8, n) - m8       # exclusive
 
-                def rcond(st3):
-                    return st3[0] * 128 < count
+                for jj in range(8):                        # static
+                    c = w * 32 + kcs[jj]
+                    m = m8[jj:jj + 1]                      # (1, N)
+                    rank = rank8[jj:jj + 1]
+                    count = jnp.sum(m)
 
-                def rbody(st3):
-                    r, tb, fb = st3
-                    base = r * 128
-                    sel = (m > 0) & (rank >= base) & (rank < base + 128)
-                    # rank folded to a single (1, N) comparand before
-                    # the (128, N) compare: the two-operand broadcast
-                    # form `(rank - base == slot) & sel` hits a Mosaic
-                    # relayout error on vector<128xNxi1>
-                    # (scripts/tpu_sel_probe.py; eq->bf16 cast measured
-                    # ~610 ns/cluster-cycle at N=2048)
-                    rank_m = jnp.where(sel, rank - base, jnp.int32(-1))
-                    s = (rank_m == slot).astype(jnp.bfloat16)  # (128, N)
-                    g24 = jax.lax.dot_general(
-                        pay, s,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # (24, 128)
-                    go = g24[0:3] + g24[6:9] + g24[12:15]      # exact o
-                    gd = g24[3:6] + g24[9:12] + g24[15:18]     # exact d
-                    tq, fq = _test_cluster(rows_ref[c], go, gd,
-                                           big_row, zero_f)
-                    # encode (t, face) for the exact bf16 scatter-back
-                    th, tm, tl = split3_bf16(tq)
-                    fqs = jnp.maximum(fq, 0)   # miss lanes never win
-                    f_d = jnp.concatenate(
-                        [fqs >> 16, (fqs >> 8) & 255, fqs & 255],
-                        axis=0).astype(jnp.bfloat16)
-                    y = jnp.concatenate([th, tm, tl, f_d], axis=0)
-                    z = jax.lax.dot_general(
-                        y, s,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # (6, N)
-                    tsel = jnp.where(sel, z[0:1] + z[1:2] + z[2:3], BIG)
-                    fsel = (jnp.round(z[3:4]).astype(jnp.int32) << 16) \
-                        | (jnp.round(z[4:5]).astype(jnp.int32) << 8) \
-                        | jnp.round(z[5:6]).astype(jnp.int32)
-                    better = tsel < tb
-                    return (r + 1, jnp.where(better, tsel, tb),
-                            jnp.where(better, fsel, fb))
+                    def rcond(st3):
+                        return st3[0] * 128 < count
 
-                _, tb, fb = jax.lax.while_loop(
-                    rcond, rbody, (jnp.int32(0), tb, fb))
-                return bits ^ lsb, tb, fb
+                    def rbody(st3, m=m, rank=rank, c=c):
+                        r, tb, fb = st3
+                        base = r * 128
+                        sel = (m > 0) & (rank >= base) & \
+                            (rank < base + 128)
+                        # rank folded to a single (1, N) comparand
+                        # before the (128, N) compare: the two-operand
+                        # broadcast form `(rank - base == slot) & sel`
+                        # hits a Mosaic relayout error on
+                        # vector<128xNxi1> (scripts/tpu_sel_probe.py)
+                        rank_m = jnp.where(sel, rank - base,
+                                           jnp.int32(-1))
+                        s = (rank_m == slot).astype(jnp.bfloat16)
+                        g24 = jax.lax.dot_general(
+                            pay, s,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        go = g24[0:3] + g24[6:9] + g24[12:15]
+                        gd = g24[3:6] + g24[9:12] + g24[15:18]
+                        tq, fq = _test_cluster(rows_ref[c], go, gd,
+                                               big_row, zero_f)
+                        # encode (t, face) for the exact bf16 scatter
+                        th, tm, tl = split3_bf16(tq)
+                        fqs = jnp.maximum(fq, 0)  # misses never win
+                        f_d = jnp.concatenate(
+                            [fqs >> 16, (fqs >> 8) & 255, fqs & 255],
+                            axis=0).astype(jnp.bfloat16)
+                        y = jnp.concatenate([th, tm, tl, f_d], axis=0)
+                        z = jax.lax.dot_general(
+                            y, s,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        tsel = jnp.where(sel,
+                                         z[0:1] + z[1:2] + z[2:3], BIG)
+                        fsel = \
+                            (jnp.round(z[3:4]).astype(jnp.int32) << 16) \
+                            | (jnp.round(z[4:5]).astype(jnp.int32) << 8) \
+                            | jnp.round(z[5:6]).astype(jnp.int32)
+                        better = tsel < tb
+                        return (r + 1, jnp.where(better, tsel, tb),
+                                jnp.where(better, fsel, fb))
+
+                    _, tb, fb = jax.lax.while_loop(
+                        rcond, rbody, (jnp.int32(0), tb, fb))
+                return b, tb, fb
 
             _, tb, fb = jax.lax.while_loop(
                 bcond, bbody, (union_ref[row, w], tb, fb))
