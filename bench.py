@@ -78,7 +78,8 @@ LOOKAHEAD = bool(int(os.environ.get("BENCH_LOOKAHEAD", 0)))
 EXPAND_N = int(os.environ.get("BENCH_EXPAND_N", 8192))
 # in-kernel alive-compaction group (kernels/compact.py); 0 = off.
 # Default 32768: sweep measured fwd 376/368/336/317/326 ms at compact
-# 0/8k/16k/32k/64k (leaf=512, expand=8192); fwd+bwd 399 ms at 32k.
+# 0/8k/16k/32k/64k (leaf=512, expand=8192); 305 -> 300.8 ms with the
+# batch-8 rank pass at the final leaf=384 (fwd+bwd 372.5 ms).
 COMPACT_N = int(os.environ.get("BENCH_COMPACT_N", 32768))
 
 
@@ -120,14 +121,15 @@ def run_child(backend: str) -> dict:
                     scene.mesh.face_valid)
     if backend == "onehot":
         from raypt.accel.ctree import build_onehot
-        # leaf=512 with the per-ray-exact expansion kernel (round 5):
+        # leaf=384 with the per-ray-exact expansion kernel (round 5):
         # with no union waste to pay, bigger clusters shorten both the
-        # walk and the distinct-cluster scans — leaf sweep at
-        # expand=8192 measured fwd 499/389/370/457 ms at leaf
-        # 128/256/512/1024 (scripts/tpu_expand_ab.py). The old dense
+        # walk and the distinct-cluster scans — fine leaf sweep at
+        # expand=8192/compact=32768 measured fwd 322/301/299/305/359 ms
+        # at leaf 256/384/448/512/768, fwd+bwd 372.5/377.3/384.5 at
+        # 384/448/512 (scripts/tpu_expand_ab.py). The old dense
         # kernel's optimum was 128 (667 ms; set BENCH_EXPAND_N=0 +
         # BENCH_ONEHOT_LEAF=128 to reproduce).
-        leaf = int(os.environ.get("BENCH_ONEHOT_LEAF", 512))
+        leaf = int(os.environ.get("BENCH_ONEHOT_LEAF", 384))
         bvh = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
                            scene.mesh.face_valid, leaf=leaf)
         jax.block_until_ready(bvh[1])

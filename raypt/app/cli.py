@@ -212,8 +212,8 @@ def main(argv=None):
     pr.add_argument("--backend", default="auto",
                     choices=["auto", "bvh", "bvh2", "bvh4", "dense",
                              "bruteforce", "pallas", "onehot", "cluster"])
-    pr.add_argument("--onehot-leaf", type=int, default=512,
-                    help="backend onehot: triangles/cluster (512 = "
+    pr.add_argument("--onehot-leaf", type=int, default=384,
+                    help="backend onehot: triangles/cluster (384 = "
                          "round-5 measured optimum with the expansion "
                          "kernel; 128 for the dense-union kernel)")
     pr.add_argument("--onehot-expand", type=int, default=8192,

@@ -193,7 +193,7 @@ for size in SIZES:
     from jax.sharding import Mesh as _Mesh, PartitionSpec as _P
     from raypt.accel.traverse import find_closest_onehot as _fco
     accel512 = build_onehot(bvh, scene.mesh.positions, scene.mesh.faces,
-                            scene.mesh.face_valid, leaf=512)
+                            scene.mesh.face_valid, leaf=384)
     ids_plain = _fco(sc, accel512, ro, rd, expand_n=8192,
                      compact_n=32768)
     mesh1 = _Mesh(jax.devices()[:1], ("tiles",))
@@ -211,7 +211,7 @@ for size in SIZES:
     ok_sm = (bool(jnp.array_equal(t_sh, ids_plain.t))
              and bool(jnp.array_equal(tri_sh, ids_plain.tri))
              and bool(jnp.array_equal(sph_sh, ids_plain.sphere)))
-    print(f"[{size}] shard_map flagship (1-dev TPU mesh, leaf=512 "
+    print(f"[{size}] shard_map flagship (1-dev TPU mesh, leaf=384 "
           f"expand=8192 compact=32768): parity="
           f"{'OK' if ok_sm else 'FAIL'}", flush=True)
     fails += not ok_sm
