@@ -144,10 +144,22 @@ def run_child(backend: str) -> dict:
                 mesh=scene.mesh.replace(positions=v),
                 materials=scene.materials.replace(albedo=a))
             finder = make_finder(s, cfg, bvh)
-            img, traced = render_sample(s, cfg,
-                                        sample_key(frame_key(k, 0), 0),
-                                        finder, return_alive=True)
-            return jnp.mean(img), traced
+            # real SPP loop (round-5 fix: the old single-sample body
+            # under BENCH_SPP > 1 inflated the upper-bound accounting
+            # by SPP x; traced counts were already honest)
+            fkey = frame_key(k, 0)
+
+            def one(i, carry):
+                acc, traced_acc = carry
+                img, traced = render_sample(s, cfg, sample_key(fkey, i),
+                                            finder, return_alive=True)
+                return acc + img, traced_acc + traced
+
+            acc, traced = jax.lax.fori_loop(
+                0, SPP, one,
+                (jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32),
+                 jnp.zeros((BOUNCES,), jnp.int32)))
+            return jnp.mean(acc / SPP), traced
         (l, traced), grads = jax.value_and_grad(
             loss, argnums=(0, 1), has_aux=True)(verts, albedo)
         return l, traced, grads
