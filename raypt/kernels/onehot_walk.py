@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .vma_util import pvary_to, vma_of
 
-RAY_TILE = 1024
+RAY_TILE = 2048
 LO = 256          # radix: node = hi * LO + lo
 ROW = 16
 
